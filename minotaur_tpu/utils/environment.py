@@ -1,0 +1,178 @@
+"""Environment: options + logger + global timers + RNG seed.
+
+Reference: src/base/Environment.h:28, Environment.cpp:48 (default options)
+and Environment.cpp:913 (CLI parsing).  The option *names* follow the
+reference so users of minotaur can keep their command lines; TPU-specific
+options (node_batch, device mesh, dtype) are additions.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, List, Optional, Sequence
+
+from .logger import Logger
+from .options import OptionDB
+from .timer import Timer, TimerFactory
+from .types import LogLevel
+
+VERSION = "0.1.0"
+
+
+def _create_default_options(db: OptionDB) -> None:
+    """Default options. Mirrors Environment::createDefaultOptions_
+    (reference: Environment.cpp:48) for the options our solver stack
+    consumes, plus TPU-native additions."""
+    ins = db.insert
+    # --- general / driver ---------------------------------------------
+    ins("config_file", str, "read more options from this file", "")
+    ins("log_level", int, "verbosity 0..6 (none..debug2)", int(LogLevel.INFO))
+    ins("problem_file", str, "path to the instance (.nl or .mps)", "")
+    ins("display_problem", bool, "write the problem before solving", False)
+    ins("display_size", bool, "write problem size statistics", False)
+    ins("display_presolved_problem", bool, "write problem after presolve", False)
+    ins("solve", bool, "solve the problem (off = read/presolve only)", True)
+    ins("write_sol_file", bool, "write an AMPL .sol file next to the input", False)
+    ins("debug_sol", str, "file with a known-feasible solution; assert it stays "
+        "feasible through presolve and the tree (reference Problem::isDebugSolFeas)", "")
+    ins("rand_seed", int, "seed for random number generators", 0)
+    # --- tolerances / limits ------------------------------------------
+    ins("obj_gap_percent", float, "stop when rel gap (percent) below this", 1e-4)
+    ins("solAbs_tol", float, "absolute optimality/prune tolerance", 1e-6)
+    ins("solRel_tol", float, "relative optimality/prune tolerance", 1e-6)
+    ins("int_tol", float, "integrality tolerance", 1e-6)
+    ins("feasAbs_tol", float, "absolute constraint feasibility tolerance", 1e-6)
+    ins("feasRel_tol", float, "relative constraint feasibility tolerance", 1e-6)
+    ins("bnb_time_limit", float, "wall time limit in seconds", 1e20)
+    ins("bnb_node_limit", int, "maximum number of B&B nodes", 2**62)
+    ins("bnb_sol_limit", int, "stop after this many improving solutions", 2**62)
+    ins("bnb_log_interval", float, "seconds between progress rows", 5.0)
+    # --- tree search ---------------------------------------------------
+    ins("tree_search", str, "node selection: dfs/bfs/BthenD", "BthenD")
+    ins("brancher", str, "branching rule: maxvio/rel/strong/lexico/random", "rel")
+    ins("br_frac_weight", float, "weight for fractionality in branching score", 0.167)
+    ins("strbr_iter_limit", int, "engine iteration limit for strong-branch probes", 20)
+    ins("rel_thresh", int, "reliability threshold for pseudo-costs", 8)
+    ins("rel_cands", int, "max candidates scored by strong branching per node", 8)
+    ins("vbc_file", str, "write VBC tree-trace events to this file", "")
+    # --- presolve ------------------------------------------------------
+    ins("presolve", bool, "run presolve before the tree", True)
+    ins("nl_presolve", bool, "nonlinear presolve (FBBT through expression DAGs)", True)
+    ins("lin_presolve", bool, "linear presolve passes", True)
+    ins("max_presolve_iters", int, "max major presolve iterations", 5)
+    ins("obbt", bool, "optimality-based bound tightening at root", False)
+    ins("fbbt_rounds", int, "FBBT sweeps per node presolve", 2)
+    # --- engines -------------------------------------------------------
+    ins("lp_engine", str, "LP engine (ipm)", "ipm")
+    ins("qp_engine", str, "QP engine (ipm/none)", "ipm")
+    ins("nlp_engine", str, "NLP engine (ipm)", "ipm")
+    ins("ipm_max_iters", int, "max IPM iterations per solve", 60)
+    ins("ipm_tol", float, "IPM convergence tolerance", 1e-8)
+    ins("eval_within_bnds", bool, "clip x into variable bounds before evaluating "
+        "nonlinear functions (guards sqrt/log domains)", True)
+    # --- QG / cuts -----------------------------------------------------
+    ins("qg_max_cuts", int, "capacity of the preallocated QG cut pool", 2048)
+    ins("cut_pool_capacity", int, "capacity of the general cut pool", 4096)
+    # --- heuristics ----------------------------------------------------
+    ins("divheur", bool, "MINLP diving heuristic before the tree", False)
+    ins("fpump", bool, "feasibility pump heuristic", False)
+    ins("msheur", bool, "multistart heuristic", False)
+    # --- TPU-native ----------------------------------------------------
+    ins("node_batch", int, "nodes processed per device superstep", 256)
+    ins("dtype", str, "compute dtype: f64/f32", "f64")
+    ins("mesh_hosts", int, "hosts in the device mesh (node-pool partitions)", 1)
+    ins("lb_frequency", int, "supersteps between cross-host load balances "
+        "(reference MpiBranchAndBound lb_frequency)", 8)
+    ins("threads", int, "kept for reference CLI parity; maps to node_batch", 0)
+    ins("checkpoint_file", str, "periodically checkpoint the search state here", "")
+    ins("checkpoint_interval", float, "seconds between checkpoints", 300.0)
+
+
+class Environment:
+    """Container for OptionDB + Logger + timers (reference: Environment.h:28)."""
+
+    def __init__(self) -> None:
+        self.options = OptionDB()
+        _create_default_options(self.options)
+        self.logger = Logger(LogLevel.INFO)
+        self.timer_factory = TimerFactory()
+        self._timer = Timer()
+        self._timer.start()
+        self._wall = Timer()
+        self._wall.start()
+
+    # -- timers ---------------------------------------------------------
+    def get_time(self) -> float:
+        return self._timer.query_cpu()
+
+    def get_wtime(self) -> float:
+        return self._wall.query_wall()
+
+    def new_timer(self) -> Timer:
+        t = self.timer_factory.get_timer()
+        t.start()
+        return t
+
+    # -- options --------------------------------------------------------
+    def get_option(self, name: str) -> Any:
+        return self.options.get(name)
+
+    def set_option(self, name: str, value: Any) -> None:
+        self.options.set(name, value)
+        if name == "log_level":
+            self.logger.max_level = LogLevel(int(value))
+
+    def read_options(self, argv: Sequence[str]) -> List[str]:
+        """Parse CLI arguments (reference: Environment.cpp:913-1090).
+
+        Accepts ``--name value``, ``--name=value``, ``-name value``,
+        ``-name=value`` and strips an optional ``minotaur.`` prefix.
+        Returns positional arguments (instance files)."""
+        positional: List[str] = []
+        i = 0
+        argv = list(argv)
+        while i < len(argv):
+            tok = argv[i]
+            if tok.startswith("-"):
+                name = tok.lstrip("-")
+                if name.startswith("minotaur."):
+                    name = name[len("minotaur."):]
+                if "=" in name:
+                    name, value = name.split("=", 1)
+                else:
+                    if name in self.options and self.options.find(name).otype is bool \
+                            and (i + 1 >= len(argv) or argv[i + 1].startswith("-")):
+                        value = "1"
+                    else:
+                        i += 1
+                        if i >= len(argv):
+                            raise ValueError(f"option {name} needs a value")
+                        value = argv[i]
+                if name not in self.options:
+                    raise ValueError(f"unknown option: {name}")
+                self.set_option(name, value)
+                if name == "config_file" and value:
+                    self._read_config_file(value)
+            else:
+                positional.append(tok)
+            i += 1
+        return positional
+
+    def _read_config_file(self, path: str) -> None:
+        with open(path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) == 2:
+                    name = parts[0].lstrip("-")
+                    if name.startswith("minotaur."):
+                        name = name[len("minotaur."):]
+                    self.set_option(name, parts[1].strip())
+
+    def version_string(self) -> str:
+        return f"minotaur-tpu {VERSION}"
+
+    def write_full_version(self, out=None) -> None:
+        (out or sys.stdout).write(self.version_string() + "\n")

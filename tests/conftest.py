@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding
+paths are exercised without TPU hardware (reference has no analogue — its
+MPI tests require mpirun; see SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REF_INSTANCES = "/root/reference/src/testing/instances"
+REF_TEST_INSTANCES = "/root/reference/test_instances"
+
+
+@pytest.fixture(scope="session")
+def instances_dir():
+    return REF_INSTANCES
+
+
+@pytest.fixture(scope="session")
+def test_instances_dir():
+    return REF_TEST_INSTANCES
