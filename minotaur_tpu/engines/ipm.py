@@ -1,0 +1,397 @@
+"""Batched primal-dual interior-point engine (LP / QP / convex NLP).
+
+This replaces the reference's whole external-engine zoo — OsiLPEngine
+(Clp dual simplex, OsiLPEngine.cpp:571-591), IpoptEngine
+(IpoptEngine.cpp:668), BqpdEngine, qpOASESEngine — with ONE TPU-native
+solver: a dense Mehrotra predictor-corrector interior-point method whose
+KKT systems condense to an m x m Schur complement (normal equations),
+factorized by Cholesky on the MXU.  Where the reference solves one
+relaxation at a time behind an Engine ABC, this engine vmaps the entire
+iteration across a *batch* of B&B nodes (same instance, different bound
+boxes and cut rows) — thousands of relaxations per device dispatch.
+
+Formulation (slack form; two-sided rows and bounds handled natively, which
+the reference gets from Clp/Ipopt):
+
+    min f(x) = c.x + x'Qx + f_nl(x)
+    s.t. g(x) - s = 0,   lz <= z <= uz,   z = (x, s)
+
+KKT residuals and the condensed Newton system are derived in the docstring
+of `_make_step`.  Infinite bounds are masked (no multiplier on that side);
+equality rows are fixed slacks (dl = du = 0, clamped).
+
+Statuses mirror the reference's EngineStatus semantics (Types.h:152) since
+the node-prune state machine consumes them (PCBProcessor.cpp:400-523).
+
+A *certified* LP dual bound is computed from the final duals by clamping y
+to signs compatible with finite row bounds and evaluating the box-LP dual
+objective — any such (y, r) pair under-estimates the LP optimum, so B&B
+pruning decisions never rely on unconverged primal values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+from ..utils.types import EngineStatus
+from .staging import StagedProblem
+
+_BIG = 1e20
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMOptions:
+    max_iters: int = 60
+    tol: float = 1e-8
+    tau: float = 0.995          # fraction-to-boundary
+    reg_primal: float = 1e-9
+    reg_dual: float = 1e-9
+    sigma_pow: int = 3          # Mehrotra sigma = (mu_aff/mu)^pow
+    infeas_mu: float = 1e-10    # mu below this + primal infeasible => INFEAS
+
+
+class IPMResult(NamedTuple):
+    x: "jnp.ndarray"          # (B, n) primal point
+    obj: "jnp.ndarray"        # (B,) objective value (incl. const)
+    dual_bound: "jnp.ndarray" # (B,) certified lower bound (LP) or obj-eps
+    y: "jnp.ndarray"          # (B, m) row duals
+    status: "jnp.ndarray"     # (B,) EngineStatus codes
+    iters: "jnp.ndarray"      # (B,)
+    kkt_err: "jnp.ndarray"    # (B,)
+
+
+def _fin(jnp, b):
+    return jnp.abs(b) < _BIG
+
+
+def _max_step(jnp, v, dv, tau, mask):
+    """Largest alpha in (0, 1] with v + alpha*dv >= (1-tau)*v on mask."""
+    bad = (dv < 0) & mask
+    ratio = jnp.where(bad, -tau * v / jnp.where(bad, dv, -1.0), 1.0)
+    return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
+
+
+def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
+                       ) -> Callable:
+    """Returns solve(A, clb, cub, vlb_b, vub_b, x0_b=None) -> IPMResult.
+
+    A/clb/cub are traced (cut rows change their *values* without
+    recompiling); vlb_b/vub_b have a leading batch axis.  The returned
+    callable is jit-compiled with the batch dimension static per shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, m = sp.n, sp.m
+    has_nl = bool(len(sp.nl_rows)) or sp.obj_nl is not None
+    has_q = sp.Qobj is not None
+    is_lp = not has_nl and not has_q
+
+    c_const = jnp.asarray(sp.c)
+    Q_const = jnp.asarray(sp.Qobj) if has_q else None
+    obj_nl = sp.obj_nl
+    con_nl = sp.con_nl
+    nl_rows = jnp.asarray(sp.nl_rows) if len(sp.nl_rows) else None
+
+    # ---------------- problem callables --------------------------------
+    def f_obj(x):
+        v = c_const @ x
+        if has_q:
+            v = v + x @ (Q_const @ x)
+        if obj_nl is not None:
+            v = v + obj_nl(x)
+        return v
+
+    def g_con(A, x):
+        v = A @ x
+        if con_nl is not None:
+            v = v.at[nl_rows].add(con_nl(x))
+        return v
+
+    grad_f = jax.grad(f_obj)
+
+    if con_nl is not None:
+        jac_nl = jax.jacfwd(con_nl)
+
+        def jac(A, x):
+            return A.at[nl_rows].add(jac_nl(x))
+    else:
+        def jac(A, x):
+            return A
+
+    if has_nl:
+        def lag_nl(x, y):
+            v = obj_nl(x) if obj_nl is not None else 0.0
+            if con_nl is not None:
+                v = v + y[nl_rows] @ con_nl(x)
+            return v
+        hess_lag_nl = jax.hessian(lag_nl, argnums=0)
+
+    def hess_W(x, y):
+        W = jnp.zeros((n, n))
+        if has_q:
+            W = W + 2.0 * Q_const
+        if has_nl:
+            W = W + hess_lag_nl(x, y)
+        return W
+
+    # ---------------- single-lane solve --------------------------------
+    def solve_one(A, clb, cub, vlb, vub, x0):
+        lz = jnp.concatenate([vlb, clb])
+        uz = jnp.concatenate([vub, cub])
+        # fixed coordinates (equality rows; branching-fixed variables) get
+        # no barrier — they are pinned by a huge diagonal in the KKT
+        # system, the clean limit of the condensed normal equations.
+        fixed = _fin(jnp, lz) & _fin(jnp, uz) & ((uz - lz) <= 1e-12)
+        fin_l = _fin(jnp, lz) & ~fixed
+        fin_u = _fin(jnp, uz) & ~fixed
+        nb = jnp.maximum(jnp.sum(fin_l) + jnp.sum(fin_u), 1)
+        _PIN = 1e16
+
+        def clampz(z):
+            mid_frac = 0.01
+            width = jnp.where(fin_l & fin_u, uz - lz, 2.0)
+            lo = jnp.where(fin_l, lz + mid_frac * jnp.minimum(width, 100.0), -_BIG)
+            hi = jnp.where(fin_u, uz - mid_frac * jnp.minimum(width, 100.0), _BIG)
+            z = jnp.clip(z, lo, hi)
+            return jnp.where(fixed, lz, z)
+
+        x_init = clampz(jnp.concatenate([x0, jnp.zeros(m)]))[:n]
+        s_init = clampz(jnp.concatenate([jnp.zeros(n), g_con(A, x_init)]))[n:]
+        z0 = jnp.concatenate([x_init, s_init])
+        zl0 = jnp.where(fin_l, 1.0, 0.0)
+        zu0 = jnp.where(fin_u, 1.0, 0.0)
+        y0 = jnp.zeros(m)
+
+        obj_scale = 1.0 + jnp.linalg.norm(c_const)
+
+        def distances(z):
+            dl = jnp.where(fin_l, z - lz, 1.0)
+            du = jnp.where(fin_u, uz - z, 1.0)
+            return jnp.maximum(dl, 1e-14), jnp.maximum(du, 1e-14)
+
+        def residuals(A, z, y, zl, zu):
+            x, s = z[:n], z[n:]
+            J = jac(A, x)
+            gf = grad_f(x)
+            rd_x = gf + J.T @ y - zl[:n] + zu[:n]
+            rd_s = -y - zl[n:] + zu[n:]
+            # fixed coordinates carry an implicit free multiplier that
+            # absorbs their dual residual exactly
+            rd_x = jnp.where(fixed[:n], 0.0, rd_x)
+            rd_s = jnp.where(fixed[n:], 0.0, rd_s)
+            rp = g_con(A, x) - s
+            return rd_x, rd_s, rp, J, gf
+
+        def kkt_error(z, y, zl, zu, rd_x, rd_s, rp):
+            dl, du = distances(z)
+            comp = jnp.sum(jnp.where(fin_l, dl * zl, 0.0)) + \
+                jnp.sum(jnp.where(fin_u, du * zu, 0.0))
+            mu = comp / nb
+            sd = jnp.maximum(1.0, (jnp.sum(jnp.abs(y)) +
+                                   jnp.sum(zl) + jnp.sum(zu)) / (n + m))
+            err = jnp.maximum(
+                jnp.max(jnp.abs(rp), initial=0.0) / jnp.maximum(1.0, jnp.max(jnp.abs(z))),
+                jnp.maximum(jnp.max(jnp.abs(jnp.concatenate([rd_x, rd_s]))) / sd,
+                            mu / sd))
+            return err, mu
+
+        def dual_cert_bound(y):
+            """Certified LP lower bound from any y.
+
+            With the slack convention g(x) = s, l <= (x, s) <= u and row
+            dual y (stationarity: c + A'y = zl - zu, -y = zl_s - zu_s), a
+            valid bound for ANY y is
+
+              g(y) = min_{z in box} [c'x + y'(Ax - s)]
+                   = sum_j min(r_j x_j) + sum_i min(t_i s_i),
+              r = c + A'y,  t = -y,
+
+            where each min picks the finite box end matching the sign.
+            Coordinates whose needed bound is infinite force that
+            multiplier to 0 (t clamped first since it feeds r).  Residual
+            reduced costs on unbounded coordinates are penalized by the
+            finite box width (safe) or a 1e6 domain estimate for free
+            variables (conservative heuristic; the reference prunes on
+            fully unverified engine objectives, cf. PCBProcessor)."""
+            t = -y
+            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
+            r = c_const - A.T @ tc          # = c + A'(-tc)
+            rc = jnp.where((r > 0) & ~_fin(jnp, vlb), 0.0, r)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
+            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
+                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
+            slack_pen = jnp.sum(jnp.abs(r - rc) * box)
+            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
+                                         jnp.where(tc < 0, tc * cub, 0.0)))
+            col_term = jnp.sum(jnp.where(rc > 0, rc * vlb,
+                                         jnp.where(rc < 0, rc * vub, 0.0)))
+            b = row_term + col_term - slack_pen + sp.obj_const
+            return jnp.where(jnp.isnan(b), -_BIG, b)
+
+        def step(carry):
+            z, y, zl, zu, k, err, mu_prev, best_db = carry
+            x, s = z[:n], z[n:]
+            dl, du = distances(z)
+            rd_x, rd_s, rp, J, gf = residuals(A, z, y, zl, zu)
+
+            comp = jnp.sum(jnp.where(fin_l, dl * zl, 0.0)) + \
+                jnp.sum(jnp.where(fin_u, du * zu, 0.0))
+            mu = comp / nb
+
+            Dz = jnp.where(fin_l, zl / dl, 0.0) + jnp.where(fin_u, zu / du, 0.0)
+            Dz = jnp.where(fixed, _PIN, Dz)
+            Dx_diag = Dz[:n] + opts.reg_primal
+            Ds = Dz[n:] + opts.reg_dual
+
+            if is_lp:
+                Hinv_diag = 1.0 / Dx_diag
+                JHJ = (J * Hinv_diag[None, :]) @ J.T
+                Hsolve = lambda r: Hinv_diag * r
+            else:
+                W = hess_W(x, y)
+                Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
+                # inertia correction (what Ipopt does on indefinite
+                # Hessians): if plain Cholesky fails, fall back to a
+                # Gershgorin diagonal shift that guarantees PD.
+                L1 = jnp.linalg.cholesky(Hbar)
+                bad = ~jnp.all(jnp.isfinite(L1))
+                gersh = jnp.min(jnp.diag(Hbar) -
+                                (jnp.sum(jnp.abs(Hbar), axis=1) -
+                                 jnp.abs(jnp.diag(Hbar))))
+                shift = jnp.where(bad, jnp.maximum(1e-8, -gersh) + 1e-6, 0.0)
+                L2 = jnp.linalg.cholesky(Hbar + shift * jnp.eye(n))
+                Lh = jnp.where(bad, L2, L1)
+                Hsolve = lambda r: jax.scipy.linalg.cho_solve((Lh, True), r)
+                JHJ = J @ Hsolve(J.T)
+
+            M = JHJ + jnp.diag(1.0 / Ds)
+            Lm = jnp.linalg.cholesky(M)
+
+            def solve_dirs(sig_mu, dcl, dcu):
+                """dcl/dcu: extra complementarity correction terms."""
+                rc_l = jnp.where(fin_l, sig_mu - dl * zl - dcl, 0.0)
+                rc_u = jnp.where(fin_u, sig_mu - du * zu - dcu, 0.0)
+                t_l = jnp.where(fin_l, rc_l / dl, 0.0)
+                t_u = jnp.where(fin_u, rc_u / du, 0.0)
+                rhs1 = -rd_x + t_l[:n] - t_u[:n]
+                rhs2 = -rd_s + t_l[n:] - t_u[n:]
+                rhs3 = -rp
+                rhs_y = J @ Hsolve(rhs1) - rhs3 - rhs2 / Ds
+                dy = jax.scipy.linalg.cho_solve((Lm, True), rhs_y)
+                dx = Hsolve(rhs1 - J.T @ dy)
+                ds = (dy + rhs2) / Ds
+                dz = jnp.concatenate([dx, ds])
+                dzl = jnp.where(fin_l, (rc_l - zl * dz) / dl, 0.0)
+                dzu = jnp.where(fin_u, (rc_u + zu * dz) / du, 0.0)
+                return dz, dy, dzl, dzu
+
+            # predictor (affine)
+            dz_a, dy_a, dzl_a, dzu_a = solve_dirs(0.0, 0.0, 0.0)
+            ap = jnp.minimum(_max_step(jnp, dl, dz_a, 1.0, fin_l),
+                             _max_step(jnp, du, -dz_a, 1.0, fin_u))
+            ad = jnp.minimum(_max_step(jnp, zl, dzl_a, 1.0, fin_l),
+                             _max_step(jnp, zu, dzu_a, 1.0, fin_u))
+            dl_a = dl + ap * dz_a
+            du_a = du - ap * dz_a
+            mu_aff = (jnp.sum(jnp.where(fin_l, dl_a * (zl + ad * dzl_a), 0.0)) +
+                      jnp.sum(jnp.where(fin_u, du_a * (zu + ad * dzu_a), 0.0))) / nb
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** opts.sigma_pow,
+                             0.0, 1.0)
+
+            # corrector
+            dz_c, dy_c, dzl_c, dzu_c = solve_dirs(
+                sigma * mu, dz_a * dzl_a, -dz_a * dzu_a)
+
+            ap = jnp.minimum(_max_step(jnp, dl, dz_c, opts.tau, fin_l),
+                             _max_step(jnp, du, -dz_c, opts.tau, fin_u))
+            ad = jnp.minimum(_max_step(jnp, zl, dzl_c, opts.tau, fin_l),
+                             _max_step(jnp, zu, dzu_c, opts.tau, fin_u))
+            if has_nl:
+                a = jnp.minimum(ap, ad)
+                ap = ad = a
+
+            z_new = z + ap * dz_c
+            y_new = y + ad * dy_c
+            zl_new = jnp.where(fin_l, jnp.maximum(zl + ad * dzl_c, 1e-300), 0.0)
+            zu_new = jnp.where(fin_u, jnp.maximum(zu + ad * dzu_c, 1e-300), 0.0)
+
+            rd_x2, rd_s2, rp2, _, _ = residuals(A, z_new, y_new, zl_new, zu_new)
+            err2, mu2 = kkt_error(z_new, y_new, zl_new, zu_new, rd_x2, rd_s2, rp2)
+
+            # NaN guard: if the step blew up, keep the previous iterate and
+            # stop (err -> 0 exits the loop; status decided from residuals).
+            ok = jnp.isfinite(err2) & jnp.all(jnp.isfinite(z_new))
+            z_new = jnp.where(ok, z_new, z)
+            y_new = jnp.where(ok, y_new, y)
+            zl_new = jnp.where(ok, zl_new, zl)
+            zu_new = jnp.where(ok, zu_new, zu)
+            err2 = jnp.where(ok, err2, -1.0)
+            mu2 = jnp.where(ok, mu2, mu_prev)
+
+            if is_lp:
+                best_db = jnp.maximum(best_db, dual_cert_bound(y_new))
+            return z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db
+
+        def cond(carry):
+            _, _, _, _, k, err, _, _ = carry
+            return (k < opts.max_iters) & (err > opts.tol)
+
+        rd_x0, rd_s0, rp0, _, _ = residuals(A, z0, y0, zl0, zu0)
+        err0, mu0 = kkt_error(z0, y0, zl0, zu0, rd_x0, rd_s0, rp0)
+        z, y, zl, zu, iters, err, mu, best_db = jax.lax.while_loop(
+            cond, step, (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG))
+
+        x = z[:n]
+        obj = f_obj(x) + sp.obj_const
+
+        # ---- certified dual bound (exact for LP; see module docstring) --
+        if is_lp:
+            dual_bound = jnp.maximum(best_db, dual_cert_bound(y))
+        else:
+            # convex NLP: trust the converged KKT point with a tolerance
+            # margin (the reference trusts Ipopt the same way).
+            dual_bound = jnp.where(err <= opts.tol * 100,
+                                   obj - 1e-7 * (1.0 + jnp.abs(obj)), -_BIG)
+
+        rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
+        prim_err = jnp.max(jnp.abs(rpf), initial=0.0) / jnp.maximum(
+            1.0, jnp.max(jnp.abs(z)))
+        # an empty bound box (possible after branching/FBBT race) is an
+        # infeasible node, not a solvable problem
+        empty_box = jnp.any(lz > uz + 1e-12)
+        converged = (err <= opts.tol) & (err >= 0.0) & ~empty_box
+        infeasible = empty_box | (
+            (~converged) & (prim_err > 1e-6) &
+            ((mu < opts.infeas_mu) | (dual_bound > 1e15) if is_lp
+             else (mu < opts.infeas_mu)))
+        dual_bound = jnp.where(empty_box, _BIG, dual_bound)
+        status = jnp.where(
+            converged,
+            EngineStatus.SOLVED_OPTIMAL,
+            jnp.where(infeasible, EngineStatus.SOLVED_INFEASIBLE,
+                      EngineStatus.ITERATION_LIMIT)).astype(jnp.int32)
+        return IPMResult(x=x, obj=obj, dual_bound=dual_bound, y=y,
+                         status=status, iters=iters, kkt_err=err)
+
+    @functools.partial(jax.jit)
+    def solve_batch(A, clb, cub, vlb_b, vub_b, x0_b):
+        return jax.vmap(solve_one, in_axes=(None, None, None, 0, 0, 0))(
+            A, clb, cub, vlb_b, vub_b, x0_b)
+
+    def solve(A, clb, cub, vlb_b, vub_b, x0_b=None):
+        A = jnp.asarray(A)
+        clb = jnp.asarray(clb)
+        cub = jnp.asarray(cub)
+        vlb_b = jnp.asarray(vlb_b)
+        vub_b = jnp.asarray(vub_b)
+        if x0_b is None:
+            x0_b = jnp.zeros((vlb_b.shape[0], n))
+        return solve_batch(A, clb, cub, vlb_b, vub_b, jnp.asarray(x0_b))
+
+    return solve

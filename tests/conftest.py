@@ -4,7 +4,10 @@ MPI tests require mpirun; see SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell env pins JAX_PLATFORMS=axon (the real TPU tunnel) and the
+# sitecustomize registers that backend eagerly, so the env var alone is not
+# enough — override via jax.config, which wins over both.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
