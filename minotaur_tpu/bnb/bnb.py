@@ -1,0 +1,290 @@
+"""Branch-and-bound driver with batched node processing.
+
+Reference: BranchAndBound::solve (BranchAndBound.cpp:355-526) — but where
+the reference pops ONE node, replays its bound deltas, and solves one
+relaxation, this driver pops up to `node_batch` nodes, stacks their bound
+boxes, and runs the whole presolve+solve+analyze pipeline as a single
+fused device call (bnb/step.py).  Pruning rules mirror
+PCBProcessor::shouldPrune_ (PCBProcessor.cpp:400-523); stop tests mirror
+BranchAndBound.cpp:274-296 (gap/time/node/sol limits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..engines.ipm import IPMOptions
+from ..engines.staging import StagedProblem, stage_problem
+from ..ir.problem import Problem
+from ..utils.environment import Environment
+from ..utils.types import EngineStatus, LogLevel, NodeStatus, SolveStatus, \
+    TreeSearchOrder
+from .node import Node
+from .step import StepOptions, build_node_step
+from .tree import TreeManager
+
+_INF = float("inf")
+
+
+@dataclasses.dataclass
+class BabStats:
+    """(reference: BabStats, BranchAndBound.h:236)"""
+    nodes_processed: int = 0
+    nodes_created: int = 0
+    batches: int = 0
+    solves: int = 0
+    sols_found: int = 0
+    unresolved: int = 0
+    time: float = 0.0
+
+
+class BranchAndBound:
+    def __init__(self, problem: Problem, env: Optional[Environment] = None,
+                 staged: Optional[StagedProblem] = None):
+        self.env = env or Environment()
+        self.problem = problem
+        self.sp = staged or stage_problem(problem)
+        opts = self.env.options
+        order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
+                 "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
+                     opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)
+        vbc = None
+        if opts.get("vbc_file"):
+            vbc = open(opts.get("vbc_file"), "w")
+        self.tm = TreeManager(order, vbc_stream=vbc)
+        self.stats = BabStats()
+        self.ub = _INF                      # best incumbent value
+        self.best_x: Optional[np.ndarray] = None
+        self.lb = -_INF                     # global lower bound
+        self.unresolved_lb = _INF           # cap from unresolved leaves
+        self.status = SolveStatus.NOT_STARTED
+        self._abs_tol = float(opts.get("solAbs_tol"))
+        self._rel_tol = float(opts.get("solRel_tol"))
+        self._int_tol = float(opts.get("int_tol"))
+        self._node_limit = int(opts.get("bnb_node_limit"))
+        self._time_limit = float(opts.get("bnb_time_limit"))
+        self._sol_limit = int(opts.get("bnb_sol_limit"))
+        self._log_interval = float(opts.get("bnb_log_interval"))
+        self._batch = max(1, int(opts.get("node_batch")))
+        step_opts = StepOptions(
+            int_tol=self._int_tol,
+            fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
+            ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
+                           tol=float(opts.get("ipm_tol"))))
+        self._step = build_node_step(self.sp, step_opts)
+        self._is_lp_relax = self.sp.is_lp_relaxable
+        self._log = self.env.logger
+
+    # ------------------------------------------------------------- bounds
+    def _gap(self) -> float:
+        if self.ub >= _INF:
+            return _INF
+        if self.lb <= -_INF:
+            return _INF
+        return (self.ub - self.lb) / max(abs(self.ub), 1e-10)
+
+    def _should_stop(self, t0: float) -> Optional[SolveStatus]:
+        if self._gap() <= self._rel_tol or \
+           (self.ub - self.lb) <= self._abs_tol:
+            return SolveStatus.SOLVED_OPTIMAL
+        if self.stats.nodes_processed >= self._node_limit:
+            return SolveStatus.SOLVED_NODE_LIMIT
+        if time.monotonic() - t0 > self._time_limit:
+            return SolveStatus.SOLVED_TIME_LIMIT
+        if self.stats.sols_found >= self._sol_limit:
+            return SolveStatus.SOLVED_SOL_LIMIT
+        return None
+
+    def _cutoff(self) -> float:
+        # prune nodes whose bound cannot improve the incumbent by > tol
+        if self.ub >= _INF:
+            return _INF
+        return self.ub - min(self._abs_tol, abs(self.ub) * self._rel_tol)
+
+    # ------------------------------------------------------------ solving
+    def solve(self) -> SolveStatus:
+        t0 = time.monotonic()
+        last_log = t0
+        self.status = SolveStatus.STARTED
+        n = self.sp.n
+        root = Node(nid=0, depth=0, lb=-_INF,
+                    vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),
+                    warm_x=(self.problem.initial_point.copy()
+                            if self.problem.initial_point is not None else None))
+        self.tm.insert_root(root)
+        next_id = 1
+
+        while len(self.tm):
+            stop = self._should_stop(t0)
+            if stop is not None:
+                self.status = stop
+                break
+
+            self.tm.set_cutoff(self._cutoff())
+            batch = self.tm.pop_batch(self._batch)
+            if not batch:
+                break
+            B = len(batch)
+            # pad to a bucket size to bound recompiles; geometric ladder
+            # 1, 4, 16, 64, ... keeps compiles to log4(batch) total
+            bucket = 1
+            while bucket < B:
+                bucket *= 4
+            bucket = min(bucket, self._batch)
+            while B < bucket:
+                batch.append(batch[0])
+                B += 1
+
+            vlb_b = np.stack([nd.vlb for nd in batch])
+            vub_b = np.stack([nd.vub for nd in batch])
+            x0_b = np.stack([nd.warm_x if nd.warm_x is not None
+                             else np.zeros(n) for nd in batch])
+            res = self._step(self.sp.A, self.sp.clb, self.sp.cub,
+                             vlb_b, vub_b, x0_b)
+            self.stats.batches += 1
+            self.stats.solves += B
+
+            status = np.asarray(res.status)
+            obj = np.asarray(res.obj)
+            db = np.asarray(res.dual_bound)
+            xs = np.asarray(res.x)
+            int_feas = np.asarray(res.int_feasible)
+            bvar = np.asarray(res.branch_var)
+            bval = np.asarray(res.branch_val)
+            nvlb = np.asarray(res.new_vlb)
+            nvub = np.asarray(res.new_vub)
+
+            seen = set()
+            for i, node in enumerate(batch):
+                if id(node) in seen:
+                    continue  # padding duplicate
+                seen.add(id(node))
+                next_id = self._process_result(
+                    node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
+                    int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
+
+            # recompute global lower bound (capped by unresolved leaves)
+            open_lb = min(self.tm.best_lb(), self.unresolved_lb)
+            self.lb = min(open_lb, self.ub)
+            self.stats.nodes_processed = self.tm.nodes_processed
+            self.stats.nodes_created = self.tm.nodes_created
+
+            now = time.monotonic()
+            if now - last_log >= self._log_interval:
+                last_log = now
+                self._log.info(
+                    f"  {now - t0:8.1f}s  nodes {self.stats.nodes_processed:8d} "
+                    f"open {len(self.tm):7d}  lb {self.lb:.8g}  ub {self.ub:.8g} "
+                    f" gap {self._gap() * 100:.4g}%")
+
+        if self.status in (SolveStatus.STARTED, SolveStatus.NOT_STARTED):
+            # tree exhausted
+            if self.unresolved_lb < self._cutoff():
+                # unresolved leaves remain: cannot claim optimality
+                self.lb = min(self.unresolved_lb, self.ub)
+                self.status = SolveStatus.SOLVED_GAP_LIMIT \
+                    if self.ub < _INF else SolveStatus.FINISHED
+            elif self.ub < _INF:
+                self.status = SolveStatus.SOLVED_OPTIMAL
+            else:
+                self.status = SolveStatus.SOLVED_INFEASIBLE
+        if self.status == SolveStatus.SOLVED_OPTIMAL:
+            self.lb = self.ub if self.ub < _INF else self.lb
+        self.stats.time = time.monotonic() - t0
+        return self.status
+
+    # ---------------------------------------------------------- per node
+    def _process_result(self, node: Node, status: int, obj: float, db: float,
+                        x: np.ndarray, int_feas: bool, bvar: int, bval: float,
+                        nvlb: np.ndarray, nvub: np.ndarray, next_id: int) -> int:
+        """Prune/incumbent/branch decision for one node — the semantics of
+        PCBProcessor::shouldPrune_ + IntVarHandler feasibility/branching."""
+        node_bound = max(node.lb, db if db > -_INF else node.lb)
+        if self._is_lp_relax:
+            bound_for_prune = node_bound
+        else:
+            # NLP relaxation: certified bound only when converged
+            bound_for_prune = max(
+                node.lb,
+                obj if status == EngineStatus.SOLVED_OPTIMAL else node.lb)
+            if db > 1e15:
+                bound_for_prune = db
+
+        if status == EngineStatus.SOLVED_INFEASIBLE or bound_for_prune >= 1e15:
+            node.status = NodeStatus.PRUNED_INFEASIBLE
+            return next_id
+        if bound_for_prune >= self._cutoff():
+            node.status = NodeStatus.PRUNED_BY_BOUND
+            return next_id
+
+        if int_feas and status == EngineStatus.SOLVED_OPTIMAL:
+            # relaxation solution is MINLP-feasible: candidate incumbent.
+            # Clip into the node box (IPM interior tolerance can leave
+            # continuous vars epsilon outside) and round the integers.
+            xr = np.clip(x, nvlb, nvub)
+            ints = self.sp.int_mask
+            xr[ints] = np.round(xr[ints])
+            accepted = None
+            if self.problem.is_feasible(xr, atol=1e-5, int_tol=self._int_tol):
+                accepted = (xr, float(self.problem.eval_objective(xr)))
+            elif self.problem.is_feasible(x, atol=1e-5, int_tol=self._int_tol):
+                accepted = (x.copy(), float(self.problem.eval_objective(x)))
+            if accepted is not None:
+                xbest, val = accepted
+                if val < self.ub - 1e-12:
+                    self.ub = val
+                    self.best_x = xbest
+                    self.stats.sols_found += 1
+                    self.tm.set_cutoff(self._cutoff())
+                    self.tm.prune_by_cutoff()
+                node.status = NodeStatus.PRUNED_OPTIMAL
+                return next_id
+
+        if bvar < 0:
+            # No fractional int var, but the solution was not accepted as
+            # an incumbent (engine iteration limit / feasibility check
+            # failed).  Pruning would be UNSOUND — record the node as an
+            # unresolved leaf whose bound caps the final global lb
+            # (reference keeps such nodes alive via contOnErr/fixNodeErr,
+            # PCBProcessor.cpp:311-338).
+            self.unresolved_lb = min(self.unresolved_lb, bound_for_prune)
+            self.stats.unresolved += 1
+            node.status = NodeStatus.DOMINATED
+            return next_id
+
+        # branch on bvar at bval (two children, reference IntVarHandler:133)
+        lo = math.floor(bval + self._int_tol)
+        if math.isfinite(nvlb[bvar]):
+            lo = max(lo, int(math.ceil(nvlb[bvar] - 1e-9)))
+        if math.isfinite(nvub[bvar]):
+            lo = min(lo, int(math.floor(nvub[bvar] + 1e-9)) - 1)
+        child_bound = max(node.lb, bound_for_prune)
+        children = []
+        for side in (0, 1):
+            cvlb = nvlb.copy()
+            cvub = nvub.copy()
+            if side == 0:
+                cvub[bvar] = lo
+            else:
+                cvlb[bvar] = lo + 1
+            children.append(Node(
+                nid=next_id + side, depth=node.depth + 1, lb=child_bound,
+                vlb=cvlb, vub=cvub, warm_x=x.copy(), branch_var=bvar))
+        node.status = NodeStatus.BRANCHED
+        self.tm.branch(children, node)
+        return next_id + 2
+
+
+def solve_file(path: str, env: Optional[Environment] = None,
+               ) -> BranchAndBound:
+    """Convenience: read an instance and solve it."""
+    from ..io.nl_reader import read_nl
+    p = read_nl(path)
+    bab = BranchAndBound(p, env=env)
+    bab.solve()
+    return bab

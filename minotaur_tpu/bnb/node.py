@@ -1,0 +1,34 @@
+"""B&B node: a dense bound box + metadata.
+
+The reference stores a node as parent pointer + two lists of bound
+modifications replayed on demand (reference: Node.h:363-369,
+Node::applyMods :122).  On TPU the node IS its (vlb, vub) vectors: replay,
+serialization (Serializer.h:32-35) and the relaxation-switch machinery
+(NodeIncRelaxer.cpp:94-155) all collapse into array slicing, and a batch of
+nodes is just a (B, n) pair of arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..utils.types import NodeStatus
+
+
+@dataclasses.dataclass
+class Node:
+    nid: int
+    depth: int
+    lb: float                       # inherited/proven lower bound
+    vlb: np.ndarray                 # (n,) variable lower bounds
+    vub: np.ndarray                 # (n,)
+    warm_x: Optional[np.ndarray] = None   # parent relaxation solution
+    status: NodeStatus = NodeStatus.NOT_PROCESSED
+    branch_var: int = -1            # var this node branched on (for stats)
+    tb_score: float = 0.0           # tie-break score
+
+    def __lt__(self, other: "Node") -> bool:  # heap ordering fallback
+        return self.lb < other.lb

@@ -1,0 +1,144 @@
+"""The fused B&B node superstep: FBBT -> IPM solve -> integrality analysis.
+
+One jitted device program processes a whole batch of nodes.  This is the
+TPU translation of the reference's per-node pipeline
+(PCBProcessor::process PCBProcessor.cpp:178: presolveNode_ -> Engine::solve
+-> isFeasible_ -> branching candidates), flattened into straight-line
+batched array code.  Dispatch latency through the device tunnel is ~30 ms,
+so everything a node needs must happen in ONE call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+from ..engines.ipm import IPMOptions, build_single_solver
+from ..engines.staging import StagedProblem
+from ..ops.interval import linear_fbbt, stage_fbbt, stage_interval
+
+
+class StepResult(NamedTuple):
+    status: "jnp.ndarray"       # (B,) EngineStatus
+    obj: "jnp.ndarray"          # (B,) relaxation objective
+    dual_bound: "jnp.ndarray"   # (B,) certified node lower bound
+    x: "jnp.ndarray"            # (B, n)
+    int_feasible: "jnp.ndarray" # (B,) bool: all int vars integral
+    branch_var: "jnp.ndarray"   # (B,) most-fractional int var (-1 if none)
+    branch_val: "jnp.ndarray"   # (B,) value of x at branch_var
+    max_frac: "jnp.ndarray"     # (B,)
+    new_vlb: "jnp.ndarray"      # (B, n) FBBT-tightened bounds
+    new_vub: "jnp.ndarray"      # (B, n)
+    fbbt_infeas: "jnp.ndarray"  # (B,) bool
+    frac: "jnp.ndarray"         # (B, n) fractionality per var (0 for cont)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepOptions:
+    int_tol: float = 1e-6
+    fbbt_rounds: int = 2
+    ipm: IPMOptions = IPMOptions()
+
+
+def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
+                    ) -> Callable:
+    """Returns step(A, clb, cub, vlb_b, vub_b, x0_b, cutoff) -> StepResult,
+    jitted; A/clb/cub/cutoff traced so cut updates and incumbent changes
+    never recompile."""
+    import jax
+    import jax.numpy as jnp
+
+    n = sp.n
+    solve_one = build_single_solver(sp, opts.ipm)
+    int_mask = jnp.asarray(sp.int_mask)
+    has_ints = bool(sp.int_mask.any())
+
+    # staged FBBT for nonlinear rows (quadratic rows have graphs too)
+    nl_fbbt = [stage_fbbt(g, n) for g in sp.nl_graphs]
+    nl_fwd = [stage_interval(g) for g in sp.nl_graphs]
+    nl_rows = [int(r) for r in sp.nl_rows]
+
+    def fbbt_round(A, clb, cub, vlb, vub, infeas):
+        # forward intervals of nonlinear bodies -> tightened linear ranges
+        if nl_rows:
+            gmin = []
+            gmax = []
+            for f in nl_fwd:
+                lo, hi = f(vlb, vub)
+                gmin.append(lo)
+                gmax.append(hi)
+            gmin = jnp.stack(gmin)
+            gmax = jnp.stack(gmax)
+            rlo = clb.at[jnp.asarray(nl_rows)].add(-gmax)
+            rhi = cub.at[jnp.asarray(nl_rows)].add(-gmin)
+            rlo = jnp.where(jnp.isnan(rlo), -jnp.inf, rlo)
+            rhi = jnp.where(jnp.isnan(rhi), jnp.inf, rhi)
+        else:
+            rlo, rhi = clb, cub
+        vlb, vub, bad = linear_fbbt(A, rlo, rhi, vlb, vub)
+        infeas = infeas | bad
+
+        # nonlinear rows: impose [clb - linpart, cub - linpart] on the DAG
+        if nl_rows:
+            pos = jnp.maximum(A, 0.0)
+            neg = jnp.minimum(A, 0.0)
+            lmin = pos @ vlb + neg @ vub
+            lmax = pos @ vub + neg @ vlb
+            for f, r in zip(nl_fbbt, nl_rows):
+                glo = clb[r] - lmax[r]
+                ghi = cub[r] - lmin[r]
+                glo = jnp.where(jnp.isnan(glo), -jnp.inf, glo)
+                ghi = jnp.where(jnp.isnan(ghi), jnp.inf, ghi)
+                vlb, vub, bad = f(vlb, vub, glo, ghi)
+                infeas = infeas | bad
+
+        # integer rounding (reference: LinearHandler intRounding :415)
+        if has_ints:
+            vlb = jnp.where(int_mask, jnp.ceil(vlb - opts.int_tol), vlb)
+            vub = jnp.where(int_mask, jnp.floor(vub + opts.int_tol), vub)
+            infeas = infeas | jnp.any(vlb > vub + 1e-9)
+        return vlb, vub, infeas
+
+    def step_one(A, clb, cub, vlb, vub, x0):
+        infeas = jnp.asarray(False)
+        for _ in range(opts.fbbt_rounds):
+            vlb, vub, infeas = fbbt_round(A, clb, cub, vlb, vub, infeas)
+        # keep the box sane for the solver even if infeasible (masked later)
+        svlb = jnp.where(vlb > vub, vub, vlb)
+        res = solve_one(A, clb, cub, svlb, vub, x0)
+
+        if has_ints:
+            frac = jnp.where(int_mask,
+                             jnp.abs(res.x - jnp.round(res.x)), 0.0)
+            # fractionality only meaningful where the var is not fixed
+            max_frac = jnp.max(frac)
+            bvar = jnp.argmax(frac).astype(jnp.int32)
+            int_feas = max_frac <= opts.int_tol
+            bvar = jnp.where(int_feas, -1, bvar)
+        else:
+            frac = jnp.zeros(n)
+            max_frac = jnp.asarray(0.0)
+            bvar = jnp.asarray(-1, dtype=jnp.int32)
+            int_feas = jnp.asarray(True)
+
+        from ..utils.types import EngineStatus
+        status = jnp.where(infeas,
+                           jnp.asarray(int(EngineStatus.SOLVED_INFEASIBLE),
+                                       dtype=jnp.int32),
+                           res.status)
+        db = jnp.where(infeas, 1e20, res.dual_bound)
+        return StepResult(
+            status=status, obj=res.obj, dual_bound=db, x=res.x,
+            int_feasible=int_feas & ~infeas, branch_var=bvar,
+            branch_val=res.x[jnp.maximum(bvar, 0)], max_frac=max_frac,
+            new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac)
+
+    @functools.partial(jax.jit)
+    def step(A, clb, cub, vlb_b, vub_b, x0_b):
+        return jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0))(
+            A, clb, cub, vlb_b, vub_b, x0_b)
+
+    return step

@@ -1,0 +1,123 @@
+"""Tree manager: the active-node store.
+
+Reference: TreeManager.{h,cpp} — dfs/bfs/BthenD selection
+(TreeManager.cpp:36-57), pruning on cutoff, global-lb recompute
+(updateLb :415) and VBC tree-trace output (:61-76).  This version pops
+*batches* of K best nodes per superstep instead of one.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, TextIO
+
+from ..utils.types import NodeStatus, TreeSearchOrder
+from .node import Node
+
+_INF = float("inf")
+
+
+class TreeManager:
+    def __init__(self, order: TreeSearchOrder = TreeSearchOrder.BEST_THEN_DIVE,
+                 vbc_stream: Optional[TextIO] = None):
+        self.order = TreeSearchOrder(order)
+        self._heap: List[tuple] = []       # (key, seq, Node)
+        self._seq = 0
+        self.cutoff = _INF
+        self.nodes_created = 0
+        self.nodes_processed = 0
+        self.nodes_pruned = 0
+        self._vbc = vbc_stream
+        if self._vbc:
+            self._vbc.write("#TYPE: COMPLETE TREE\n#TIME: SET\n"
+                            "#BOUNDS: SET\n#INFORMATION: STANDARD\n"
+                            "#NODE_NUMBER: NONE\n")
+
+    # ----------------------------------------------------------- keying
+    def _key(self, node: Node) -> tuple:
+        if self.order == TreeSearchOrder.DFS:
+            return (-node.depth, node.lb)
+        if self.order == TreeSearchOrder.BFS:
+            return (node.lb, node.depth)
+        # BthenD: best-bound first, deeper as tie-break (dive-ish)
+        return (node.lb, -node.depth)
+
+    # ------------------------------------------------------------- push
+    def insert_root(self, node: Node) -> None:
+        self.nodes_created += 1
+        self._push(node)
+        self._vbc_event(node, parent=0, state=1)
+
+    def branch(self, children: List[Node], parent: Node) -> None:
+        for ch in children:
+            self.nodes_created += 1
+            if ch.lb < self.cutoff:
+                self._push(ch)
+                self._vbc_event(ch, parent=parent.nid + 1, state=1)
+            else:
+                self.nodes_pruned += 1
+
+    def _push(self, node: Node) -> None:
+        heapq.heappush(self._heap, (self._key(node), self._seq, node))
+        self._seq += 1
+
+    def insert_candidate(self, node: Node) -> None:
+        """Re-insert a node received from another pool partition
+        (reference: TreeManager::insertRecvCandidate :257, the MPI fork's
+        migration entry point)."""
+        self._push(node)
+
+    # -------------------------------------------------------------- pop
+    def pop_batch(self, k: int) -> List[Node]:
+        """Pop up to k best nodes, skipping any that the current cutoff
+        prunes (reference: getCandidate + shouldPrune_)."""
+        out: List[Node] = []
+        while self._heap and len(out) < k:
+            _, _, node = heapq.heappop(self._heap)
+            if node.lb >= self.cutoff:
+                self.nodes_pruned += 1
+                self._vbc_event(node, state=3)
+                continue
+            out.append(node)
+        self.nodes_processed += len(out)
+        return out
+
+    def pop_best_nodes(self, k: int) -> List[Node]:
+        """Pop up to k best-bound nodes regardless of search order (used
+        by load balancing, reference MpiBranchAndBound.cpp:93)."""
+        items = []
+        while self._heap and len(items) < k:
+            items.append(heapq.heappop(self._heap)[2])
+        return items
+
+    # ------------------------------------------------------------ bounds
+    def set_cutoff(self, ub: float) -> None:
+        self.cutoff = ub
+
+    def best_lb(self) -> float:
+        """Global lower bound over open nodes (reference: updateLb)."""
+        if not self._heap:
+            return _INF
+        return min(node.lb for _, _, node in self._heap)
+
+    def __len__(self) -> int:
+        return len(self._heap)
+
+    def prune_by_cutoff(self) -> int:
+        """Drop all open nodes with lb >= cutoff; returns count."""
+        keep = [(k, s, n) for (k, s, n) in self._heap if n.lb < self.cutoff]
+        dropped = len(self._heap) - len(keep)
+        if dropped:
+            self.nodes_pruned += dropped
+            heapq.heapify(keep)
+            self._heap = keep
+        return dropped
+
+    # --------------------------------------------------------------- vbc
+    def _vbc_event(self, node: Node, parent: int = -1, state: int = 1) -> None:
+        if not self._vbc:
+            return
+        if parent >= 0:
+            self._vbc.write(f"P {node.nid + 1} {parent} {state}\n")
+        else:
+            self._vbc.write(f"P {node.nid + 1} {state}\n")

@@ -75,14 +75,11 @@ def _max_step(jnp, v, dv, tau, mask):
     return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
 
 
-def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
-                       ) -> Callable:
-    """Returns solve(A, clb, cub, vlb_b, vub_b, x0_b=None) -> IPMResult.
-
-    A/clb/cub are traced (cut rows change their *values* without
-    recompiling); vlb_b/vub_b have a leading batch axis.  The returned
-    callable is jit-compiled with the batch dimension static per shape.
-    """
+def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
+                        ) -> Callable:
+    """Returns the traceable single-lane solver
+    solve_one(A, clb, cub, vlb, vub, x0) -> IPMResult (unbatched, unjitted)
+    for fusing into larger device programs (the B&B superstep)."""
     import jax
     import jax.numpy as jnp
 
@@ -378,6 +375,23 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                       EngineStatus.ITERATION_LIMIT)).astype(jnp.int32)
         return IPMResult(x=x, obj=obj, dual_bound=dual_bound, y=y,
                          status=status, iters=iters, kkt_err=err)
+
+    return solve_one
+
+
+def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
+                       ) -> Callable:
+    """Returns solve(A, clb, cub, vlb_b, vub_b, x0_b=None) -> IPMResult.
+
+    A/clb/cub are traced (cut rows change their *values* without
+    recompiling); vlb_b/vub_b have a leading batch axis.  The returned
+    callable is jit-compiled with the batch dimension static per shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = sp.n
+    solve_one = build_single_solver(sp, opts)
 
     @functools.partial(jax.jit)
     def solve_batch(A, clb, cub, vlb_b, vub_b, x0_b):

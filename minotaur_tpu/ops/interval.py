@@ -56,7 +56,10 @@ def _imul(jnp, al, ah, bl, bh):
 
 
 def _idiv(jnp, al, ah, bl, bh):
-    """[al,ah] / [bl,bh]; if 0 in [bl,bh] -> (-inf, inf)."""
+    """[al,ah] / [bl,bh]; if 0 in [bl,bh] -> (-inf, inf).
+
+    inf/inf quotients are NaN in IEEE; those lanes get the conservative
+    (-inf, inf) — a NaN bound would otherwise break branching forever."""
     straddles = (bl <= 0.0) & (bh >= 0.0)
     safe_bl = jnp.where(straddles, 1.0, bl)
     safe_bh = jnp.where(straddles, 1.0, bh)
@@ -66,8 +69,8 @@ def _idiv(jnp, al, ah, bl, bh):
     q4 = ah / safe_bh
     lo = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
     hi = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
-    lo = jnp.where(straddles, -_INF, lo)
-    hi = jnp.where(straddles, _INF, hi)
+    lo = jnp.where(straddles | jnp.isnan(lo), -_INF, lo)
+    hi = jnp.where(straddles | jnp.isnan(hi), _INF, hi)
     return lo, hi
 
 
@@ -477,8 +480,10 @@ def stage_fbbt(graph, n_vars: int) -> Callable:
         for i in range(n):
             if reach[i] and Op(op[i]) is Op.VAR:
                 v = var[i]
-                new_lo = new_lo.at[v].set(jnp.maximum(new_lo[v], tlo[i]))
-                new_hi = new_hi.at[v].set(jnp.minimum(new_hi[v], thi[i]))
+                tl = jnp.where(jnp.isnan(tlo[i]), -_INF, tlo[i])
+                th = jnp.where(jnp.isnan(thi[i]), _INF, thi[i])
+                new_lo = new_lo.at[v].set(jnp.maximum(new_lo[v], tl))
+                new_hi = new_hi.at[v].set(jnp.minimum(new_hi[v], th))
         infeas = infeas | jnp.any(new_lo > new_hi + eps)
         return new_lo, new_hi, infeas
 
