@@ -1,0 +1,98 @@
+"""Benchmark entry point (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: B&B nodes/sec on a real benchmark instance
+(color_lab2_4x0.nl, 300-binary MIQP with dense Q), batched node
+processing on one chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md) and its
+binaries need third-party solvers (Ipopt/ASL/Clp) that cannot be built in
+this zero-egress image.  vs_baseline therefore uses a documented proxy:
+single-core NLP-based B&B in the reference class processes ~100 nodes/sec
+on instances of this size (one warm-started Ipopt/Clp solve per node at
+~5-20 ms plus tree overhead).  See BASELINE.md measurement plan.
+
+Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_NODES_PER_SEC = 100.0
+INSTANCE = "/root/reference/test_instances/color_lab2_4x0.nl"
+NODE_LIMIT = 512
+NODE_BATCH = 64
+TIME_LIMIT = 420.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.monotonic()
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: TPU compiles go through a remote-compile
+    # tunnel at ~1-3 min each; caching makes reruns start hot
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        log(f"bench: compile cache unavailable: {e}")
+    log(f"bench: devices = {jax.devices()}")
+
+    from minotaur_tpu.io.nl_reader import read_nl
+    from minotaur_tpu.utils.environment import Environment
+    from minotaur_tpu.bnb.bnb import BranchAndBound
+
+    p = read_nl(INSTANCE)
+    env = Environment()
+    env.set_option("node_batch", NODE_BATCH)
+    env.set_option("bnb_node_limit", NODE_LIMIT)
+    env.set_option("bnb_time_limit", TIME_LIMIT)
+    env.set_option("log_level", 1)
+
+    bab = BranchAndBound(p, env)
+
+    # warm the compile caches for every batch bucket so the measured
+    # window is execution, not compilation
+    import numpy as np
+    sp = bab.sp
+    b = 1
+    while b <= NODE_BATCH:
+        t0 = time.monotonic()
+        bab._step(sp.A, sp.clb, sp.cub,
+                  np.tile(sp.vlb, (b, 1)), np.tile(sp.vub, (b, 1)),
+                  np.zeros((b, sp.n)))
+        log(f"bench: warmup bucket {b} compiled+ran in "
+            f"{time.monotonic() - t0:.1f}s")
+        b *= 4
+
+    t0 = time.monotonic()
+    bab.solve()
+    dt = time.monotonic() - t0
+    nodes = max(1, bab.stats.nodes_processed)
+    nps = nodes / dt
+    log(f"bench: instance={os.path.basename(INSTANCE)} status={bab.status.name} "
+        f"nodes={nodes} time={dt:.1f}s ub={bab.ub:.6g} lb={bab.lb:.6g} "
+        f"batches={bab.stats.batches} total_wall={time.monotonic()-t_start:.1f}s")
+
+    print(json.dumps({
+        "metric": "bnb_nodes_per_sec",
+        "value": round(nps, 2),
+        "unit": "nodes/s",
+        "vs_baseline": round(nps / BASELINE_NODES_PER_SEC, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

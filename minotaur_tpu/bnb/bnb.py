@@ -222,7 +222,8 @@ class BranchAndBound:
             node.status = NodeStatus.PRUNED_BY_BOUND
             return next_id
 
-        if int_feas and status == EngineStatus.SOLVED_OPTIMAL:
+        if int_feas and status in (EngineStatus.SOLVED_OPTIMAL,
+                                   EngineStatus.ITERATION_LIMIT):
             # relaxation solution is MINLP-feasible: candidate incumbent.
             # Clip into the node box (IPM interior tolerance can leave
             # continuous vars epsilon outside) and round the integers.

@@ -43,11 +43,10 @@ class StepOptions:
     ipm: IPMOptions = IPMOptions()
 
 
-def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
-                    ) -> Callable:
-    """Returns step(A, clb, cub, vlb_b, vub_b, x0_b, cutoff) -> StepResult,
-    jitted; A/clb/cub/cutoff traced so cut updates and incumbent changes
-    never recompile."""
+def build_node_step_unjitted(sp: StagedProblem,
+                             opts: StepOptions = StepOptions()) -> Callable:
+    """Returns the traceable single-lane step_one(A, clb, cub, vlb, vub,
+    x0) -> StepResult for embedding into larger programs (sharded pools)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,6 +134,17 @@ def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
             int_feasible=int_feas & ~infeas, branch_var=bvar,
             branch_val=res.x[jnp.maximum(bvar, 0)], max_frac=max_frac,
             new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac)
+
+    return step_one
+
+
+def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
+                    ) -> Callable:
+    """Returns step(A, clb, cub, vlb_b, vub_b, x0_b) -> StepResult,
+    jitted and vmapped; A/clb/cub traced so cut updates never recompile."""
+    import jax
+
+    step_one = build_node_step_unjitted(sp, opts)
 
     @functools.partial(jax.jit)
     def step(A, clb, cub, vlb_b, vub_b, x0_b):

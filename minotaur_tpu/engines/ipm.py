@@ -87,6 +87,16 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
     has_nl = bool(len(sp.nl_rows)) or sp.obj_nl is not None
     has_q = sp.Qobj is not None
     is_lp = not has_nl and not has_q
+    # condensation choice (static): x-space (n x n) for NLP/QP and for LPs
+    # with many rows (cut pools); m-space for skinny LPs
+    condense_x = (not is_lp) or (m >= n)
+    # equality rows are static structure (cut rows are always
+    # inequalities); in x-space they get an explicit KKT block — a
+    # penalty pin would let the fixed slack absorb infeasibility and
+    # report "optimal" on infeasible nodes
+    eq_rows = np.where(np.isfinite(sp.clb) & np.isfinite(sp.cub) &
+                       (np.abs(sp.cub - sp.clb) <= 1e-12))[0].astype(np.int32)
+    m_eq = len(eq_rows)
 
     c_const = jnp.asarray(sp.c)
     Q_const = jnp.asarray(sp.Qobj) if has_q else None
@@ -147,7 +157,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         fin_l = _fin(jnp, lz) & ~fixed
         fin_u = _fin(jnp, uz) & ~fixed
         nb = jnp.maximum(jnp.sum(fin_l) + jnp.sum(fin_u), 1)
-        _PIN = 1e16
+        fixed_x = fixed[:n]
+        # pin weight for fixed SLACKS (equality rows).  Fixed VARIABLES
+        # are eliminated exactly instead: their Jacobian columns and
+        # Hessian rows/cols are masked to zero and dx forced to 0 — a
+        # penalty pin on the diagonal would compete with the equality
+        # rows' own penalty terms inside J' Ds J and let fixed vars drift.
+        _PIN = 1e10 if condense_x else 1e16
 
         def clampz(z):
             mid_frac = 0.01
@@ -191,8 +207,11 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             mu = comp / nb
             sd = jnp.maximum(1.0, (jnp.sum(jnp.abs(y)) +
                                    jnp.sum(zl) + jnp.sum(zu)) / (n + m))
+            # primal infeasibility is UNSCALED (Ipopt convention): scaled
+            # equality violations let quadratic bodies trade feasibility
+            # for objective at sqrt(tol) rates
             err = jnp.maximum(
-                jnp.max(jnp.abs(rp), initial=0.0) / jnp.maximum(1.0, jnp.max(jnp.abs(z))),
+                jnp.max(jnp.abs(rp), initial=0.0),
                 jnp.maximum(jnp.max(jnp.abs(jnp.concatenate([rd_x, rd_s]))) / sd,
                             mu / sd))
             return err, mu
@@ -243,32 +262,93 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
             Dz = jnp.where(fin_l, zl / dl, 0.0) + jnp.where(fin_u, zu / du, 0.0)
             Dz = jnp.where(fixed, _PIN, Dz)
-            Dx_diag = Dz[:n] + opts.reg_primal
+            Dx_diag = jnp.where(fixed_x, 1.0, Dz[:n] + opts.reg_primal)
             Ds = Dz[n:] + opts.reg_dual
 
-            if is_lp:
-                Hinv_diag = 1.0 / Dx_diag
-                JHJ = (J * Hinv_diag[None, :]) @ J.T
-                Hsolve = lambda r: Hinv_diag * r
-            else:
-                W = hess_W(x, y)
-                Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
-                # inertia correction (what Ipopt does on indefinite
-                # Hessians): if plain Cholesky fails, fall back to a
-                # Gershgorin diagonal shift that guarantees PD.
-                L1 = jnp.linalg.cholesky(Hbar)
+            if condense_x:
+                # x-space normal equations over INEQUALITY rows:
+                #   Mx = W + Dx + J_in' Ds_in J_in     (n x n)
+                # plus an explicit KKT block for equality rows:
+                #   [Mx  J_eq'] [dx]     [rx]
+                #   [J_eq   0 ] [dy_eq] = [rhs3_eq]
+                # Fixed vars are exactly eliminated: column-masked J,
+                # masked W, unit diagonal, zero rhs -> dx = 0 on them.
+                Jm = jnp.where(fixed_x[None, :], 0.0, J)
+                ineq_w = Ds.at[eq_rows].set(0.0) if m_eq else Ds
+                if is_lp:
+                    W = jnp.zeros((n, n))
+                else:
+                    W = hess_W(x, y)
+                    wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
+                    W = jnp.where(wmask, W, 0.0)
+                Mx = W + jnp.diag(Dx_diag) + (Jm.T * ineq_w[None, :]) @ Jm
+                L1 = jnp.linalg.cholesky(Mx)
                 bad = ~jnp.all(jnp.isfinite(L1))
-                gersh = jnp.min(jnp.diag(Hbar) -
-                                (jnp.sum(jnp.abs(Hbar), axis=1) -
-                                 jnp.abs(jnp.diag(Hbar))))
+                gersh = jnp.min(jnp.diag(Mx) -
+                                (jnp.sum(jnp.abs(Mx), axis=1) -
+                                 jnp.abs(jnp.diag(Mx))))
                 shift = jnp.where(bad, jnp.maximum(1e-8, -gersh) + 1e-6, 0.0)
-                L2 = jnp.linalg.cholesky(Hbar + shift * jnp.eye(n))
-                Lh = jnp.where(bad, L2, L1)
-                Hsolve = lambda r: jax.scipy.linalg.cho_solve((Lh, True), r)
-                JHJ = J @ Hsolve(J.T)
+                L2 = jnp.linalg.cholesky(Mx + shift * jnp.eye(n))
+                Lm = jnp.where(bad, L2, L1)
+                if m_eq:
+                    Je = Jm[eq_rows]
+                    MeJ = jax.scipy.linalg.cho_solve((Lm, True), Je.T)
+                    S = Je @ MeJ + 1e-10 * jnp.eye(m_eq)
+                    Ls = jnp.linalg.cholesky(S)
 
-            M = JHJ + jnp.diag(1.0 / Ds)
-            Lm = jnp.linalg.cholesky(M)
+                def solve_xyz(rhs1, rhs2, rhs3):
+                    rx = rhs1 + Jm.T @ (ineq_w * rhs3 + rhs2)
+                    rx = jnp.where(fixed_x, 0.0, rx)
+                    if m_eq:
+                        t = jax.scipy.linalg.cho_solve((Lm, True), rx)
+                        dy_eq = jax.scipy.linalg.cho_solve(
+                            (Ls, True), Je @ t - rhs3[eq_rows])
+                        dx = t - MeJ @ dy_eq
+                    else:
+                        dx = jax.scipy.linalg.cho_solve((Lm, True), rx)
+                    dx = jnp.where(fixed_x, 0.0, dx)
+                    ds = J @ dx - rhs3
+                    dy = Ds * ds - rhs2
+                    if m_eq:
+                        # equality slacks do not move; their multipliers
+                        # come from the Schur block
+                        ds = ds.at[eq_rows].set(0.0)
+                        dy = dy.at[eq_rows].set(dy_eq)
+                    return dx, ds, dy
+            else:
+                # m-space (classic normal equations) — better for LP with
+                # few rows: M = J H^-1 J' + Ds^-1 (m x m).  Fixed vars are
+                # eliminated via a zero inverse-diagonal (dx stays 0).
+                if is_lp:
+                    Hinv_diag = jnp.where(fixed_x, 0.0, 1.0 / Dx_diag)
+                    JHJ = (J * Hinv_diag[None, :]) @ J.T
+                    Hsolve = lambda r: Hinv_diag * r
+                else:
+                    W = hess_W(x, y)
+                    Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
+                    # inertia correction (as Ipopt does on indefinite
+                    # Hessians): Gershgorin shift fallback if not PD
+                    L1 = jnp.linalg.cholesky(Hbar)
+                    bad = ~jnp.all(jnp.isfinite(L1))
+                    gersh = jnp.min(jnp.diag(Hbar) -
+                                    (jnp.sum(jnp.abs(Hbar), axis=1) -
+                                     jnp.abs(jnp.diag(Hbar))))
+                    shift = jnp.where(bad, jnp.maximum(1e-8, -gersh) + 1e-6,
+                                      0.0)
+                    L2 = jnp.linalg.cholesky(Hbar + shift * jnp.eye(n))
+                    Lh = jnp.where(bad, L2, L1)
+                    Hsolve = lambda r: jax.scipy.linalg.cho_solve((Lh, True), r)
+                    JHJ = J @ Hsolve(J.T)
+
+                M = JHJ + jnp.diag(1.0 / Ds)
+                Lm = jnp.linalg.cholesky(M)
+
+                def solve_xyz(rhs1, rhs2, rhs3):
+                    rhs_y = J @ Hsolve(rhs1) - rhs3 - rhs2 / Ds
+                    dy = jax.scipy.linalg.cho_solve((Lm, True), rhs_y)
+                    dx = Hsolve(rhs1 - J.T @ dy)
+                    ds = (dy + rhs2) / Ds
+                    return dx, ds, dy
 
             def solve_dirs(sig_mu, dcl, dcu):
                 """dcl/dcu: extra complementarity correction terms."""
@@ -279,10 +359,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 rhs1 = -rd_x + t_l[:n] - t_u[:n]
                 rhs2 = -rd_s + t_l[n:] - t_u[n:]
                 rhs3 = -rp
-                rhs_y = J @ Hsolve(rhs1) - rhs3 - rhs2 / Ds
-                dy = jax.scipy.linalg.cho_solve((Lm, True), rhs_y)
-                dx = Hsolve(rhs1 - J.T @ dy)
-                ds = (dy + rhs2) / Ds
+                dx, ds, dy = solve_xyz(rhs1, rhs2, rhs3)
                 dz = jnp.concatenate([dx, ds])
                 dzl = jnp.where(fin_l, (rc_l - zl * dz) / dl, 0.0)
                 dzu = jnp.where(fin_u, (rc_u + zu * dz) / du, 0.0)
@@ -357,8 +434,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                                    obj - 1e-7 * (1.0 + jnp.abs(obj)), -_BIG)
 
         rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
-        prim_err = jnp.max(jnp.abs(rpf), initial=0.0) / jnp.maximum(
-            1.0, jnp.max(jnp.abs(z)))
+        prim_err = jnp.max(jnp.abs(rpf), initial=0.0)
         # an empty bound box (possible after branching/FBBT race) is an
         # infeasible node, not a solvable problem
         empty_box = jnp.any(lz > uz + 1e-12)

@@ -506,16 +506,38 @@ def linear_fbbt(A, row_lo, row_hi, xlo, xhi):
     jnp = _jnp()
     pos = jnp.maximum(A, 0.0)
     neg = jnp.minimum(A, 0.0)
-    minact = pos @ xlo + neg @ xhi          # (m,)
-    maxact = pos @ xhi + neg @ xlo
+    # per-term contributions; infinities tracked explicitly so that the
+    # "activity excluding j" is exact even when var j itself is unbounded
+    # (plain subtraction gives inf - inf = NaN exactly where tightening
+    # information exists).  0 * inf = NaN, so zero coefficients are
+    # masked inside the products, not after.
+    def _sm(a, b):
+        return jnp.where(a == 0.0, 0.0, a * b)
+
+    term_min = _sm(pos, xlo[None, :]) + _sm(neg, xhi[None, :])
+    term_max = _sm(pos, xhi[None, :]) + _sm(neg, xlo[None, :])
+    inf_min = ~jnp.isfinite(term_min)
+    inf_max = ~jnp.isfinite(term_max)
+    tmin_f = jnp.where(inf_min, 0.0, term_min)
+    tmax_f = jnp.where(inf_max, 0.0, term_max)
+    fin_min = jnp.sum(tmin_f, axis=1)        # finite part of min-activity
+    fin_max = jnp.sum(tmax_f, axis=1)
+    ninf_min = jnp.sum(inf_min, axis=1)
+    ninf_max = jnp.sum(inf_max, axis=1)
+    minact = jnp.where(ninf_min > 0, -_INF, fin_min)
+    maxact = jnp.where(ninf_max > 0, _INF, fin_max)
     infeas = jnp.any(minact > row_hi + 1e-7) | jnp.any(maxact < row_lo - 1e-7)
 
-    # residual activity excluding j (columns): minact_i - a_ij * xbnd_j
-    # term_min[i,j] = contribution of j to minact_i
-    term_min = pos * xlo[None, :] + neg * xhi[None, :]
-    term_max = pos * xhi[None, :] + neg * xlo[None, :]
-    rmin = minact[:, None] - term_min        # (m, n) min-activity w/o j
-    rmax = maxact[:, None] - term_max
+    # min-activity excluding column j:
+    #   0 infinite terms          -> fin_min - term_min[:, j]
+    #   1 infinite term, it is j  -> fin_min (the finite remainder)
+    #   otherwise                 -> -inf
+    rmin = jnp.where(ninf_min[:, None] == 0, fin_min[:, None] - tmin_f,
+                     jnp.where((ninf_min[:, None] == 1) & inf_min,
+                               fin_min[:, None], -_INF))
+    rmax = jnp.where(ninf_max[:, None] == 0, fin_max[:, None] - tmax_f,
+                     jnp.where((ninf_max[:, None] == 1) & inf_max,
+                               fin_max[:, None], _INF))
 
     safe = jnp.where(A == 0.0, 1.0, A)
     # a_ij > 0: x_j <= (hi_i - rmin_ij)/a_ij ; x_j >= (lo_i - rmax_ij)/a_ij

@@ -1,0 +1,180 @@
+"""Distributed branch-and-bound over a device mesh.
+
+Reference: MpiBranchAndBound (the fork's core addition).  Mapping:
+
+  rank-local node pools          -> per-partition TreeManagers
+  tag-1 async incumbent gossip   -> pmin collective inside the sharded step
+  LoadBalance_ (Allgather+deal)  -> host-side global sort + round-robin deal
+                                    every `lb_frequency` supersteps
+  termination (all lb infinite)  -> all pools empty
+
+With a single controller the partitions share an address space, but the
+structure is the multi-host one: each partition only contributes its own
+nodes to a superstep, and nodes migrate only at deal points — so the
+search trajectory matches what a true multi-host run would produce.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..bnb.bnb import BranchAndBound
+from ..bnb.node import Node
+from ..bnb.step import StepOptions
+from ..bnb.tree import TreeManager
+from ..engines.ipm import IPMOptions
+from ..ir.problem import Problem
+from ..utils.environment import Environment
+from ..utils.types import SolveStatus, TreeSearchOrder
+from .pool import build_sharded_step, deal_round_robin
+
+_INF = float("inf")
+
+
+class DistBranchAndBound(BranchAndBound):
+    """Batched B&B where the node batch is sharded across a mesh and the
+    pool is partitioned, with periodic global load balancing."""
+
+    def __init__(self, problem: Problem, mesh,
+                 env: Optional[Environment] = None):
+        super().__init__(problem, env=env)
+        self.mesh = mesh
+        self.n_parts = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        opts = self.env.options
+        step_opts = StepOptions(
+            int_tol=self._int_tol,
+            fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
+            ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
+                           tol=float(opts.get("ipm_tol"))))
+        self._sharded = build_sharded_step(self.sp, step_opts, mesh)
+        self.pools: List[TreeManager] = [
+            TreeManager(self.tm.order) for _ in range(self.n_parts)]
+        self._lb_freq = max(1, int(opts.get("lb_frequency")))
+        # batch must be a multiple of the mesh size
+        per = max(1, self._batch // self.n_parts)
+        self._batch = per * self.n_parts
+
+    def solve(self) -> SolveStatus:
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        last_log = t0
+        self.status = SolveStatus.STARTED
+        n = self.sp.n
+        root = Node(nid=0, depth=0, lb=-_INF,
+                    vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy())
+        self.pools[0].insert_root(root)
+        next_id = 1
+        superstep = 0
+
+        while any(len(p) for p in self.pools):
+            stop = self._should_stop(t0)
+            if stop is not None:
+                self.status = stop
+                break
+            superstep += 1
+
+            # periodic global load balance (reference LoadBalance_)
+            if superstep % self._lb_freq == 0:
+                self._rebalance()
+
+            per = self._batch // self.n_parts
+            cutoff = self._cutoff()
+            batch: List[Optional[Node]] = []
+            for pool in self.pools:
+                pool.set_cutoff(cutoff)
+                popped = pool.pop_batch(per)
+                # pad each partition to `per` with its first node or a
+                # dummy copy of another partition's node
+                batch.extend(popped + [None] * (per - len(popped)))
+            live = [nd for nd in batch if nd is not None]
+            if not live:
+                break
+            filler = live[0]
+            batch = [nd if nd is not None else filler for nd in batch]
+
+            vlb_b = np.stack([nd.vlb for nd in batch])
+            vub_b = np.stack([nd.vub for nd in batch])
+            x0_b = np.stack([nd.warm_x if nd.warm_x is not None
+                             else np.zeros(n) for nd in batch])
+            res, gub = self._sharded(self.sp.A, self.sp.clb, self.sp.cub,
+                                     vlb_b, vub_b, x0_b, jnp.asarray(self.ub))
+            self.stats.batches += 1
+            self.stats.solves += len(batch)
+
+            status = np.asarray(res.status)
+            obj = np.asarray(res.obj)
+            db = np.asarray(res.dual_bound)
+            xs = np.asarray(res.x)
+            int_feas = np.asarray(res.int_feasible)
+            bvar = np.asarray(res.branch_var)
+            bval = np.asarray(res.branch_val)
+            nvlb = np.asarray(res.new_vlb)
+            nvub = np.asarray(res.new_vub)
+
+            per_part_children: List[List[Node]] = [[] for _ in self.pools]
+            seen = set()
+            for i, node in enumerate(batch):
+                if id(node) in seen:
+                    continue
+                seen.add(id(node))
+                part = i // per
+                before = len(self.tm._heap)
+                # reuse the serial decision logic, but capture children
+                # into the owning partition's pool
+                self._capture_part = part
+                next_id = self._process_result(
+                    node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
+                    int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
+                del before
+
+            open_lb = min([p.best_lb() for p in self.pools] +
+                          [self.unresolved_lb])
+            self.lb = min(open_lb, self.ub)
+            self.stats.nodes_processed = sum(p.nodes_processed
+                                             for p in self.pools)
+            self.stats.nodes_created = sum(p.nodes_created
+                                           for p in self.pools)
+            now = time.monotonic()
+            if now - last_log >= self._log_interval:
+                last_log = now
+                sizes = [len(p) for p in self.pools]
+                self._log.info(
+                    f"  {now - t0:8.1f}s nodes {self.stats.nodes_processed:8d}"
+                    f" open {sum(sizes):6d} {sizes} lb {self.lb:.8g}"
+                    f" ub {self.ub:.8g} gap {self._gap() * 100:.4g}%")
+
+        if self.status in (SolveStatus.STARTED, SolveStatus.NOT_STARTED):
+            if self.unresolved_lb < self._cutoff():
+                self.lb = min(self.unresolved_lb, self.ub)
+                self.status = SolveStatus.SOLVED_GAP_LIMIT \
+                    if self.ub < _INF else SolveStatus.FINISHED
+            elif self.ub < _INF:
+                self.status = SolveStatus.SOLVED_OPTIMAL
+                self.lb = self.ub
+            else:
+                self.status = SolveStatus.SOLVED_INFEASIBLE
+        self.stats.time = time.monotonic() - t0
+        return self.status
+
+    # children go to the partition that processed the parent; the tree
+    # manager passed to TreeManager.branch is the partition's
+    def _process_result(self, node, *args):
+        part = getattr(self, "_capture_part", 0)
+        self.tm = self.pools[part]  # redirect branch() target
+        return super()._process_result(node, *args)
+
+    def _rebalance(self) -> None:
+        """Global sort + round-robin deal (reference LoadBalance_)."""
+        nodes: List[Node] = []
+        for pool in self.pools:
+            nodes.extend(pool.pop_best_nodes(len(pool)))
+        if not nodes:
+            return
+        lbs = np.array([nd.lb for nd in nodes])
+        parts = deal_round_robin(lbs, self.n_parts)
+        for nd, prt in zip(nodes, parts):
+            self.pools[int(prt)].insert_candidate(nd)
