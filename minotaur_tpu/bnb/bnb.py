@@ -149,24 +149,7 @@ class BranchAndBound:
             self.stats.batches += 1
             self.stats.solves += B
 
-            status = np.asarray(res.status)
-            obj = np.asarray(res.obj)
-            db = np.asarray(res.dual_bound)
-            xs = np.asarray(res.x)
-            int_feas = np.asarray(res.int_feasible)
-            bvar = np.asarray(res.branch_var)
-            bval = np.asarray(res.branch_val)
-            nvlb = np.asarray(res.new_vlb)
-            nvub = np.asarray(res.new_vub)
-
-            seen = set()
-            for i, node in enumerate(batch):
-                if id(node) in seen:
-                    continue  # padding duplicate
-                seen.add(id(node))
-                next_id = self._process_result(
-                    node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
-                    int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
+            next_id = self._handle_batch(batch, res, next_id)
 
             # recompute global lower bound (capped by unresolved leaves)
             open_lb = min(self.tm.best_lb(), self.unresolved_lb)
@@ -197,6 +180,29 @@ class BranchAndBound:
             self.lb = self.ub if self.ub < _INF else self.lb
         self.stats.time = time.monotonic() - t0
         return self.status
+
+    # ---------------------------------------------------------- per batch
+    def _handle_batch(self, batch: List[Node], res, next_id: int) -> int:
+        """Dispatch one superstep's results to per-node decisions.
+        Subclasses (QG) intercept integral lanes here for separation."""
+        status = np.asarray(res.status)
+        obj = np.asarray(res.obj)
+        db = np.asarray(res.dual_bound)
+        xs = np.asarray(res.x)
+        int_feas = np.asarray(res.int_feasible)
+        bvar = np.asarray(res.branch_var)
+        bval = np.asarray(res.branch_val)
+        nvlb = np.asarray(res.new_vlb)
+        nvub = np.asarray(res.new_vub)
+        seen = set()
+        for i, node in enumerate(batch):
+            if id(node) in seen:
+                continue  # padding duplicate
+            seen.add(id(node))
+            next_id = self._process_result(
+                node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
+                int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
+        return next_id
 
     # ---------------------------------------------------------- per node
     def _process_result(self, node: Node, status: int, obj: float, db: float,

@@ -1,0 +1,108 @@
+"""Primal heuristics.
+
+FeasibilityPump — reference: FeasibilityPump/LinFeasPump
+(src/base/LinFeasPump.cpp): alternate between rounding and solving a
+distance-LP until an integral LP point appears.  TPU twist: we pump a
+whole *population* of trajectories as one vmapped batch with different
+random restarts/perturbations, so the per-iteration cost is one device
+call regardless of population size (the reference pumps one trajectory).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..engines.ipm import IPMOptions, build_single_solver
+from ..engines.staging import StagedProblem
+
+
+class FeasibilityPump:
+    def __init__(self, master: StagedProblem, ipm: IPMOptions,
+                 population: int = 16, max_rounds: int = 25,
+                 seed: int = 0):
+        import jax
+        solve_impl = build_single_solver(master, ipm).with_objective
+        self._solve = jax.jit(jax.vmap(
+            solve_impl, in_axes=(None, None, None, 0, 0, 0, 0)))
+        self.master = master
+        self.population = population
+        self.max_rounds = max_rounds
+        self.int_idx = np.where(master.int_mask)[0]
+        self.rng = np.random.default_rng(seed)
+
+    def _distance_obj(self, x_round: np.ndarray) -> np.ndarray:
+        """Linear objective whose minimization approximates
+        sum_j |x_j - x_round_j| over integer coords: move-down costs +1
+        when rounded to the lower integer, move-up costs -1 otherwise."""
+        B = x_round.shape[0]
+        c = np.zeros((B, self.master.n))
+        ints = self.int_idx
+        vlb = self.master.vlb[ints]
+        vub = self.master.vub[ints]
+        at_lo = x_round[:, ints] <= np.maximum(vlb, -1e18) + 0.5
+        at_hi = x_round[:, ints] >= np.minimum(vub, 1e18) - 0.5
+        c[:, ints] = np.where(at_lo, 1.0, np.where(at_hi, -1.0, 0.0))
+        return c
+
+    def run(self, A, clb, cub, vlb: np.ndarray, vub: np.ndarray,
+            x_start: np.ndarray, int_tol: float = 1e-6
+            ) -> List[np.ndarray]:
+        """Pump from x_start (an LP-feasible point); returns integral
+        LP-feasible points found (master space)."""
+        B = self.population
+        n = self.master.n
+        ints = self.int_idx
+        if len(ints) == 0:
+            return []
+        vlb_b = np.tile(vlb, (B, 1))
+        vub_b = np.tile(vub, (B, 1))
+        x = np.tile(x_start, (B, 1))
+        # diversify initial roundings: lane 0 = nearest; others flip a
+        # random subset of near-half coordinates
+        xr = x.copy()
+        xr[:, ints] = np.round(x[:, ints])
+        for b in range(1, B):
+            frac = np.abs(x[b, ints] - np.round(x[b, ints]))
+            k = max(1, int(len(ints) * 0.15))
+            cand = np.argsort(-frac)[:max(k * 2, 4)]
+            flip = self.rng.choice(cand, size=min(k, len(cand)),
+                                   replace=False)
+            xr[b, ints[flip]] = np.where(
+                x[b, ints[flip]] > np.round(x[b, ints[flip]]),
+                np.round(x[b, ints[flip]]) + 1.0,
+                np.round(x[b, ints[flip]]) - 1.0)
+        xr[:, ints] = np.clip(xr[:, ints], vlb_b[:, ints], vub_b[:, ints])
+
+        found: List[np.ndarray] = []
+        prev = xr.copy()
+        for _ in range(self.max_rounds):
+            c = self._distance_obj(xr)
+            res = self._solve(A, clb, cub, vlb_b, vub_b, x, c)
+            x = np.asarray(res.x)
+            status = np.asarray(res.status)
+            frac = np.abs(x[:, ints] - np.round(x[:, ints]))
+            integral = (frac.max(axis=1) <= int_tol) & (status == 1)
+            for b in np.where(integral)[0]:
+                found.append(x[b].copy())
+            if found:
+                break
+            # next rounding; perturb stalled lanes
+            new_xr = x.copy()
+            new_xr[:, ints] = np.round(x[:, ints])
+            for b in range(B):
+                if np.all(new_xr[b, ints] == prev[b, ints]):
+                    k = max(1, int(len(ints) * 0.1))
+                    order = np.argsort(-frac[b])[:max(2 * k, 4)]
+                    flip = self.rng.choice(order, size=min(k, len(order)),
+                                           replace=False)
+                    new_xr[b, ints[flip]] = 1.0 - new_xr[b, ints[flip]] \
+                        if np.all(self.master.vub[ints] <= 1.0) else \
+                        new_xr[b, ints[flip]] + self.rng.choice([-1.0, 1.0],
+                                                                size=len(flip))
+            new_xr[:, ints] = np.clip(new_xr[:, ints], vlb_b[:, ints],
+                                      vub_b[:, ints])
+            prev = xr
+            xr = new_xr
+        return found

@@ -1,0 +1,435 @@
+"""Quesada-Grossmann LP/NLP single-tree outer approximation.
+
+Reference: QGHandler.{h,cpp} — root NLP linearization (initLinear_ :224,
+linearAt_ :333), objective handled via an added eta variable
+(linearizeObj_ :308), fix-ints NLP at integral LP solutions (fixInts_
+:205, solveNLP_ :627), cuts at the NLP solution (cutToCons_/cutToObj_
+:356,506), prune when the LP bound reaches the NLP value (:161-200).
+
+TPU-native differences:
+- the master LP carries a PREALLOCATED cut pool: cut rows live in the
+  master A matrix (static shape), disabled rows have (-inf, inf) bounds;
+  adding a cut writes a row + bound in place, and since A/clb/cub are
+  traced engine arguments the device program never recompiles;
+- fix-ints NLP subproblems from *different* nodes solve as ONE vmapped
+  batch (the reference does them one at a time);
+- cut coefficients (values + gradients of all nonlinear bodies) come from
+  one jitted AD evaluation over the batch of NLP solutions;
+- instead of an inner separate/resolve loop, a node whose bound is not
+  yet closed is re-queued and re-solved next superstep against the
+  enriched pool — same fixpoint, batch-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..engines.ipm import IPMOptions, build_batch_solver
+from ..engines.staging import StagedProblem, stage_problem
+from ..ir.problem import Problem
+from ..utils.environment import Environment
+from ..utils.types import EngineStatus, NodeStatus, SolveStatus
+from .bnb import BranchAndBound
+from .node import Node
+
+_INF = float("inf")
+
+
+@dataclasses.dataclass
+class QGStats:
+    """(reference: QGStats, QGHandler.h:28)"""
+    nlp_solves: int = 0
+    nlp_feasible: int = 0
+    nlp_infeasible: int = 0
+    cuts_added: int = 0
+    cuts_duplicate: int = 0
+    requeues: int = 0
+
+
+def _build_master(sp: StagedProblem, max_cuts: int) -> StagedProblem:
+    """Master LP: linear rows of the problem + eta + empty cut pool."""
+    has_obj_nl = sp.Qobj is not None or sp.obj_nl is not None
+    n_m = sp.n + (1 if has_obj_nl else 0)
+    m_m = sp.m + max_cuts
+    A = np.zeros((m_m, n_m))
+    A[:sp.m, :sp.n] = sp.A
+    clb = np.full(m_m, -_INF)
+    cub = np.full(m_m, _INF)
+    clb[:sp.m] = sp.clb
+    cub[:sp.m] = sp.cub
+    # nonlinear rows are dropped from the LP (their cuts replace them)
+    for r in sp.nl_rows:
+        clb[r] = -_INF
+        cub[r] = _INF
+    c = np.zeros(n_m)
+    if has_obj_nl:
+        c[sp.n] = 1.0  # min eta
+    else:
+        c[:sp.n] = sp.c
+    vlb = np.concatenate([sp.vlb, [-_INF]] if has_obj_nl else [sp.vlb])
+    vub = np.concatenate([sp.vub, [_INF]] if has_obj_nl else [sp.vub])
+    int_mask = np.concatenate(
+        [sp.int_mask, [False]] if has_obj_nl else [sp.int_mask])
+    return StagedProblem(
+        name=sp.name + "-qg-master", n=n_m, m=m_m, c=c,
+        obj_const=sp.obj_const if has_obj_nl else sp.obj_const,
+        Qobj=None, obj_nl=None, A=A, clb=clb, cub=cub, vlb=vlb, vub=vub,
+        int_mask=int_mask, nl_rows=np.zeros(0, np.int32), con_nl=None,
+        nl_graphs=[])
+
+
+class QGBranchAndBound(BranchAndBound):
+    """LP-tree branch-and-cut with NLP separation oracle."""
+
+    def __init__(self, problem: Problem, env: Optional[Environment] = None):
+        env = env or Environment()
+        sp = stage_problem(problem)
+        self.sp_orig = sp
+        self.max_cuts = int(env.options.get("qg_max_cuts"))
+        master = _build_master(sp, self.max_cuts)
+        self.has_eta = master.n == sp.n + 1
+        super().__init__(problem, env=env, staged=master)
+        # master arrays are mutable pool storage (traced engine args)
+        self.mA = master.A
+        self.mclb = master.clb
+        self.mcub = master.cub
+        self.n_cuts = 0
+        self._cut_base = sp.m
+        self._cut_keys = set()
+        self.qg_stats = QGStats()
+        # NLP oracle on the original space
+        ipm = IPMOptions(max_iters=int(env.options.get("ipm_max_iters")),
+                         tol=float(env.options.get("ipm_tol")))
+        self._nlp_solve = build_batch_solver(sp, ipm)
+        self._cut_gen = self._build_cut_gen()
+        self._requeue_cap = 50
+        self._heur_lanes_cap = 16   # rounding-dive lanes per superstep
+        self._heur_cut_lanes = 4    # how many heur solutions also add cuts
+        self._fp: Optional[object] = None
+        self._fp_period = 12        # supersteps between pump attempts
+        if env.options.get("fpump") or True:  # pump on by default for QG
+            from .heuristics import FeasibilityPump
+            self._fp = FeasibilityPump(
+                master, ipm, population=16,
+                seed=int(env.options.get("rand_seed")))
+        if problem.initial_point is not None and self.has_eta:
+            problem.initial_point = None  # dimension mismatch with master
+
+    # ---------------------------------------------------------- cut math
+    def _build_cut_gen(self):
+        import jax
+        import jax.numpy as jnp
+        sp = self.sp_orig
+        f_full = sp.objective_fn()
+        grad_f = jax.grad(f_full)
+        con_nl = sp.con_nl
+        if con_nl is not None:
+            jac_nl = jax.jacfwd(con_nl)
+
+        def one(x):
+            out = {"f": f_full(x), "gf": grad_f(x)}
+            if con_nl is not None:
+                out["g"] = con_nl(x)
+                out["Jg"] = jac_nl(x)
+            return out
+
+        return jax.jit(jax.vmap(one))
+
+    def _add_cut(self, coefs: np.ndarray, lb: float, ub: float) -> bool:
+        """Append one cut row; returns False if pool full/duplicate."""
+        key = (tuple(np.round(coefs / max(1.0, np.abs(coefs).max()), 9)),
+               round(lb, 9), round(ub, 9))
+        if key in self._cut_keys:
+            self.qg_stats.cuts_duplicate += 1
+            return False
+        if self.n_cuts >= self.max_cuts:
+            return False
+        r = self._cut_base + self.n_cuts
+        self.mA[r, :] = coefs
+        self.mclb[r] = lb
+        self.mcub[r] = ub
+        self.n_cuts += 1
+        self._cut_keys.add(key)
+        self.qg_stats.cuts_added += 1
+        return True
+
+    def _cuts_at(self, xhat_batch: np.ndarray) -> int:
+        """Add linearization cuts at a batch of x-space points
+        (reference: linearAt_/cutToCons_/cutToObj_)."""
+        sp = self.sp_orig
+        out = self._cut_gen(xhat_batch)
+        added = 0
+        B = xhat_batch.shape[0]
+        f = np.asarray(out["f"])
+        gf = np.asarray(out["gf"])
+        g = np.asarray(out["g"]) if "g" in out else None
+        Jg = np.asarray(out["Jg"]) if "Jg" in out else None
+        for b in range(B):
+            xh = xhat_batch[b]
+            if not np.all(np.isfinite(xh)):
+                continue
+            if self.has_eta and np.all(np.isfinite(gf[b])):
+                # eta >= f(xh) + gf.(x - xh):  gf.x - eta <= gf.xh - f(xh)
+                coefs = np.zeros(self.sp.n)
+                coefs[:sp.n] = gf[b]
+                coefs[sp.n] = -1.0
+                added += self._add_cut(coefs, -_INF,
+                                       float(gf[b] @ xh - f[b]))
+            if g is not None:
+                for k, r in enumerate(sp.nl_rows):
+                    if not np.all(np.isfinite(Jg[b, k])):
+                        continue
+                    # full row: linear part + linearized nonlinear body
+                    coefs = np.zeros(self.sp.n)
+                    coefs[:sp.n] = sp.A[r] + Jg[b, k]
+                    shift = float(g[b, k] - Jg[b, k] @ xh)
+                    lb = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
+                    ub = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
+                    if lb > ub - 1e-9 and np.isfinite(lb) and np.isfinite(ub):
+                        # never create a dynamic equality cut row
+                        lb -= 1e-8
+                        ub += 1e-8
+                    added += self._add_cut(coefs, lb, ub)
+        return added
+
+    # --------------------------------------------------------- overrides
+    def solve(self) -> SolveStatus:
+        # root continuous NLP + initial linearization (initLinear_)
+        sp = self.sp_orig
+        res = self._nlp_solve(sp.A, sp.clb, sp.cub,
+                              sp.vlb[None, :], sp.vub[None, :])
+        self.qg_stats.nlp_solves += 1
+        status = int(res.status[0])
+        x0 = np.asarray(res.x[0])
+        if status == EngineStatus.SOLVED_INFEASIBLE:
+            self.status = SolveStatus.SOLVED_INFEASIBLE
+            return self.status
+        if status in (EngineStatus.SOLVED_OPTIMAL,
+                      EngineStatus.ITERATION_LIMIT):
+            self._cuts_at(x0[None, :])
+            if status == EngineStatus.SOLVED_OPTIMAL and self.has_eta:
+                # eta >= continuous relaxation optimum (valid lower bound)
+                self.sp.vlb[sp.n] = float(res.obj[0]) - sp.obj_const - 1e-6
+            # integral root NLP solution -> incumbent
+            ints = sp.int_mask
+            if np.all(np.abs(x0[ints] - np.round(x0[ints])) <= self._int_tol) \
+                    and status == EngineStatus.SOLVED_OPTIMAL:
+                xr = x0.copy()
+                xr[ints] = np.round(xr[ints])
+                if self.problem.is_feasible(xr, atol=1e-5,
+                                            int_tol=self._int_tol):
+                    self.ub = float(self.problem.eval_objective(xr))
+                    self.best_x = xr
+                    self.stats.sols_found += 1
+        return super().solve()
+
+    def _run_step(self, vlb_b, vub_b, x0_b):
+        return self._step(self.mA, self.mclb, self.mcub, vlb_b, vub_b, x0_b)
+
+    def _try_fixint_incumbents(self, x_master_batch: np.ndarray) -> None:
+        """Fix integers at the given master-space points, solve the NLPs,
+        and harvest incumbents + cuts."""
+        sp = self.sp_orig
+        n = sp.n
+        ints = sp.int_mask
+        B = x_master_batch.shape[0]
+        vlb2 = np.tile(sp.vlb, (B, 1))
+        vub2 = np.tile(sp.vub, (B, 1))
+        xr = np.round(x_master_batch[:, :n])
+        fixv = np.clip(xr[:, ints], vlb2[:, ints], vub2[:, ints])
+        vlb2[:, ints] = fixv
+        vub2[:, ints] = fixv
+        res = self._nlp_solve(sp.A, sp.clb, sp.cub, vlb2, vub2,
+                              x_master_batch[:, :n])
+        self.qg_stats.nlp_solves += B
+        xs = np.asarray(res.x)
+        sts = np.asarray(res.status)
+        self._cuts_at(xs[:self._heur_cut_lanes])
+        for b in range(B):
+            if sts[b] in (EngineStatus.SOLVED_OPTIMAL,
+                          EngineStatus.ITERATION_LIMIT) and \
+                    np.all(np.isfinite(xs[b])) and \
+                    self.problem.is_feasible(xs[b], atol=1e-5,
+                                             int_tol=self._int_tol):
+                val = float(self.problem.eval_objective(xs[b]))
+                if val < self.ub - 1e-12:
+                    self.ub = val
+                    self.best_x = xs[b].copy()
+                    self.stats.sols_found += 1
+                    self.tm.set_cutoff(self._cutoff())
+                    self.tm.prune_by_cutoff()
+
+    def _run_pump(self, x_start: np.ndarray) -> None:
+        if self._fp is None:
+            return
+        pts = self._fp.run(self.mA, self.mclb, self.mcub,
+                           self.sp.vlb, self.sp.vub, x_start,
+                           int_tol=self._int_tol)
+        if pts:
+            self._try_fixint_incumbents(np.stack(pts))
+
+    def _handle_batch(self, batch: List[Node], res, next_id: int) -> int:
+        status = np.asarray(res.status)
+        obj = np.asarray(res.obj)
+        db = np.asarray(res.dual_bound)
+        xs = np.asarray(res.x)
+        int_feas = np.asarray(res.int_feasible)
+        bvar = np.asarray(res.branch_var)
+        bval = np.asarray(res.branch_val)
+        nvlb = np.asarray(res.new_vlb)
+        nvub = np.asarray(res.new_vub)
+        sp = self.sp_orig
+        n = sp.n
+
+        # --- separation: integral LP lanes -> batched fix-int NLPs ------
+        # Rounding-dive lanes ride the same batched NLP call: fractional
+        # LP solutions get their integers rounded+fixed and solved too —
+        # a TPU-cheap primal heuristic (reference divheur analogue) that
+        # supplies the incumbents plain QG only finds at integral LPs.
+        sep_lanes: List[int] = []
+        heur_lanes: List[int] = []
+        seen = set()
+        for i, node in enumerate(batch):
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            if status[i] not in (EngineStatus.SOLVED_OPTIMAL,
+                                 EngineStatus.ITERATION_LIMIT) or \
+                    db[i] >= 1e15:
+                continue
+            if int_feas[i]:
+                sep_lanes.append(i)
+            elif len(heur_lanes) < self._heur_lanes_cap:
+                heur_lanes.append(i)
+
+        # periodic feasibility pump while no incumbent exists
+        if self.ub >= _INF and self._fp is not None and \
+                self.stats.batches % self._fp_period == 1 and len(batch):
+            best_lane = int(np.argmin(np.where(
+                status[:len(batch)] == EngineStatus.SOLVED_OPTIMAL,
+                obj[:len(batch)], _INF)))
+            if status[best_lane] == EngineStatus.SOLVED_OPTIMAL:
+                self._run_pump(xs[best_lane])
+
+        nlp_res = None
+        if sep_lanes or heur_lanes:
+            all_lanes = sep_lanes + heur_lanes
+            B2 = len(all_lanes)
+            bucket = 1
+            while bucket < B2:
+                bucket *= 4
+            idxs = all_lanes + [all_lanes[0]] * (bucket - B2)
+            vlb2 = np.stack([nvlb[i][:n] for i in idxs])
+            vub2 = np.stack([nvub[i][:n] for i in idxs])
+            xr2 = np.stack([np.round(xs[i][:n]) for i in idxs])
+            # fix integer variables to the LP's (rounded) values
+            ints = sp.int_mask
+            fixv = np.clip(xr2[:, ints], vlb2[:, ints], vub2[:, ints])
+            vlb2[:, ints] = fixv
+            vub2[:, ints] = fixv
+            x0 = np.stack([xs[i][:n] for i in idxs])
+            nlp_res = self._nlp_solve(sp.A, sp.clb, sp.cub, vlb2, vub2, x0)
+            self.qg_stats.nlp_solves += B2
+            self.stats.solves += B2
+            nlp_x = np.asarray(nlp_res.x)[:B2]
+            nlp_obj = np.asarray(nlp_res.obj)[:B2]
+            nlp_status = np.asarray(nlp_res.status)[:B2]
+            self._cuts_at(nlp_x[:len(sep_lanes) + self._heur_cut_lanes])
+            # heuristic lanes: incumbent check only
+            for j in range(len(sep_lanes), B2):
+                if nlp_status[j] in (EngineStatus.SOLVED_OPTIMAL,
+                                     EngineStatus.ITERATION_LIMIT) and \
+                        np.all(np.isfinite(nlp_x[j])) and \
+                        self.problem.is_feasible(nlp_x[j], atol=1e-5,
+                                                 int_tol=self._int_tol):
+                    val = float(self.problem.eval_objective(nlp_x[j]))
+                    if val < self.ub - 1e-12:
+                        self.ub = val
+                        self.best_x = nlp_x[j].copy()
+                        self.stats.sols_found += 1
+                        self.tm.set_cutoff(self._cutoff())
+                        self.tm.prune_by_cutoff()
+
+        # --- per-node decisions -----------------------------------------
+        sep_map = {i: j for j, i in enumerate(sep_lanes)}
+        seen = set()
+        for i, node in enumerate(batch):
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            if i in sep_map:
+                j = sep_map[i]
+                next_id = self._process_integral_lane(
+                    node, float(obj[i]), float(db[i]), nlp_x[j],
+                    float(nlp_obj[j]), int(nlp_status[j]),
+                    nvlb[i], nvub[i], xs[i], next_id)
+            else:
+                next_id = self._process_result(
+                    node, status[i], obj[i], db[i], xs[i],
+                    bool(int_feas[i]), int(bvar[i]), float(bval[i]),
+                    nvlb[i], nvub[i], next_id)
+        return next_id
+
+    def _process_integral_lane(self, node: Node, lp_obj: float, lp_db: float,
+                               x_nlp: np.ndarray, nlp_obj: float,
+                               nlp_status: int, nvlb, nvub, x_lp,
+                               next_id: int) -> int:
+        """Reference: QGHandler::cutIntSol_ (:143) semantics."""
+        sp = self.sp_orig
+        node_bound = max(node.lb, lp_db if lp_db > -_INF else node.lb)
+
+        feasible_nlp = False
+        if nlp_status in (EngineStatus.SOLVED_OPTIMAL,
+                          EngineStatus.ITERATION_LIMIT) and \
+                np.all(np.isfinite(x_nlp)):
+            feasible_nlp = self.problem.is_feasible(
+                x_nlp, atol=1e-5, int_tol=self._int_tol)
+        if feasible_nlp:
+            self.qg_stats.nlp_feasible += 1
+            val = float(self.problem.eval_objective(x_nlp))
+            if val < self.ub - 1e-12:
+                self.ub = val
+                self.best_x = x_nlp.copy()
+                self.stats.sols_found += 1
+                self.tm.set_cutoff(self._cutoff())
+                self.tm.prune_by_cutoff()
+        else:
+            self.qg_stats.nlp_infeasible += 1
+
+        # bound closed? (reference :161-200)
+        ref = max(abs(nlp_obj), 1.0)
+        if feasible_nlp and nlp_status == EngineStatus.SOLVED_OPTIMAL and \
+                lp_obj >= nlp_obj - self._abs_tol - self._rel_tol * ref:
+            node.status = NodeStatus.PRUNED_OPTIMAL
+            return next_id
+        if node_bound >= self._cutoff():
+            node.status = NodeStatus.PRUNED_BY_BOUND
+            return next_id
+
+        # not closed: re-queue against the enriched cut pool
+        node.tb_score += 1.0
+        if node.tb_score > self._requeue_cap:
+            self.unresolved_lb = min(self.unresolved_lb, node_bound)
+            self.stats.unresolved += 1
+            node.status = NodeStatus.DOMINATED
+            return next_id
+        self.qg_stats.requeues += 1
+        node.lb = node_bound
+        node.vlb = nvlb.copy()
+        node.vub = nvub.copy()
+        node.warm_x = x_lp.copy()
+        self.tm.insert_candidate(node)
+        return next_id
+
+
+def solve_file_qg(path: str, env: Optional[Environment] = None
+                  ) -> QGBranchAndBound:
+    from ..io.nl_reader import read_nl
+    p = read_nl(path)
+    bab = QGBranchAndBound(p, env=env)
+    bab.solve()
+    return bab

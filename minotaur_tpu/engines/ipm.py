@@ -105,8 +105,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
     nl_rows = jnp.asarray(sp.nl_rows) if len(sp.nl_rows) else None
 
     # ---------------- problem callables --------------------------------
-    def f_obj(x):
-        v = c_const @ x
+    def f_obj(x, c):
+        v = c @ x
         if has_q:
             v = v + x @ (Q_const @ x)
         if obj_nl is not None:
@@ -119,7 +119,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             v = v.at[nl_rows].add(con_nl(x))
         return v
 
-    grad_f = jax.grad(f_obj)
+    grad_f = jax.grad(f_obj, argnums=0)
 
     if con_nl is not None:
         jac_nl = jax.jacfwd(con_nl)
@@ -147,7 +147,9 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         return W
 
     # ---------------- single-lane solve --------------------------------
-    def solve_one(A, clb, cub, vlb, vub, x0):
+    # c_in is traced so heuristics (feasibility pump distance objectives)
+    # can swap linear objectives without recompiling
+    def solve_impl(A, clb, cub, vlb, vub, x0, c_in):
         lz = jnp.concatenate([vlb, clb])
         uz = jnp.concatenate([vub, cub])
         # fixed coordinates (equality rows; branching-fixed variables) get
@@ -180,7 +182,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         zu0 = jnp.where(fin_u, 1.0, 0.0)
         y0 = jnp.zeros(m)
 
-        obj_scale = 1.0 + jnp.linalg.norm(c_const)
+        obj_scale = 1.0 + jnp.linalg.norm(c_in)
 
         def distances(z):
             dl = jnp.where(fin_l, z - lz, 1.0)
@@ -190,7 +192,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         def residuals(A, z, y, zl, zu):
             x, s = z[:n], z[n:]
             J = jac(A, x)
-            gf = grad_f(x)
+            gf = grad_f(x, c_in)
             rd_x = gf + J.T @ y - zl[:n] + zu[:n]
             rd_s = -y - zl[n:] + zu[n:]
             # fixed coordinates carry an implicit free multiplier that
@@ -237,7 +239,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             t = -y
             tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
             tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
-            r = c_const - A.T @ tc          # = c + A'(-tc)
+            r = c_in - A.T @ tc          # = c + A'(-tc)
             rc = jnp.where((r > 0) & ~_fin(jnp, vlb), 0.0, r)
             rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
             box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
@@ -422,7 +424,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             cond, step, (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG))
 
         x = z[:n]
-        obj = f_obj(x) + sp.obj_const
+        obj = f_obj(x, c_in) + sp.obj_const
 
         # ---- certified dual bound (exact for LP; see module docstring) --
         if is_lp:
@@ -452,6 +454,10 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         return IPMResult(x=x, obj=obj, dual_bound=dual_bound, y=y,
                          status=status, iters=iters, kkt_err=err)
 
+    def solve_one(A, clb, cub, vlb, vub, x0):
+        return solve_impl(A, clb, cub, vlb, vub, x0, c_const)
+
+    solve_one.with_objective = solve_impl
     return solve_one
 
 
