@@ -107,10 +107,37 @@ class BranchAndBound:
         return self.ub - min(self._abs_tol, abs(self.ub) * self._rel_tol)
 
     # ------------------------------------------------------------ solving
+    def _root_presolve(self) -> Optional[SolveStatus]:
+        """Root FBBT fixpoint + optional OBBT (reference: Presolver +
+        postSolveRootNode OBBT hook)."""
+        opts = self.env.options
+        if not opts.get("presolve"):
+            return None
+        from .presolve import Presolver
+        pre = Presolver(self.problem, self.sp,
+                        max_iters=int(opts.get("max_presolve_iters")),
+                        int_tol=self._int_tol)
+        st, vlb, vub = pre.presolve(self.sp.vlb.copy(), self.sp.vub.copy())
+        if st == SolveStatus.SOLVED_INFEASIBLE:
+            self.status = SolveStatus.SOLVED_INFEASIBLE
+            return self.status
+        if opts.get("obbt"):
+            vlb, vub = pre.obbt(vlb, vub)
+        self.sp.vlb[:] = vlb
+        self.sp.vub[:] = vub
+        if pre.stats.bounds_tightened or pre.stats.obbt_tightened:
+            self._log.info(
+                f"presolve: {pre.stats.rounds} rounds, "
+                f"{pre.stats.bounds_tightened} FBBT + "
+                f"{pre.stats.obbt_tightened} OBBT bound changes")
+        return None
+
     def solve(self) -> SolveStatus:
         t0 = time.monotonic()
         last_log = t0
         self.status = SolveStatus.STARTED
+        if self._root_presolve() is not None:
+            return self.status
         n = self.sp.n
         root = Node(nid=0, depth=0, lb=-_INF,
                     vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),

@@ -43,15 +43,14 @@ class StepOptions:
     ipm: IPMOptions = IPMOptions()
 
 
-def build_node_step_unjitted(sp: StagedProblem,
-                             opts: StepOptions = StepOptions()) -> Callable:
-    """Returns the traceable single-lane step_one(A, clb, cub, vlb, vub,
-    x0) -> StepResult for embedding into larger programs (sharded pools)."""
-    import jax
+def build_fbbt_sweep(sp: StagedProblem, int_tol: float = 1e-6) -> Callable:
+    """Returns the traceable single-lane sweep
+    fbbt_round(A, clb, cub, vlb, vub, infeas) -> (vlb, vub, infeas):
+    one vectorized linear-row pass + per-graph interval projection +
+    integer rounding.  Used by the node superstep and the root Presolver."""
     import jax.numpy as jnp
 
     n = sp.n
-    solve_one = build_single_solver(sp, opts.ipm)
     int_mask = jnp.asarray(sp.int_mask)
     has_ints = bool(sp.int_mask.any())
 
@@ -96,10 +95,26 @@ def build_node_step_unjitted(sp: StagedProblem,
 
         # integer rounding (reference: LinearHandler intRounding :415)
         if has_ints:
-            vlb = jnp.where(int_mask, jnp.ceil(vlb - opts.int_tol), vlb)
-            vub = jnp.where(int_mask, jnp.floor(vub + opts.int_tol), vub)
+            vlb = jnp.where(int_mask, jnp.ceil(vlb - int_tol), vlb)
+            vub = jnp.where(int_mask, jnp.floor(vub + int_tol), vub)
             infeas = infeas | jnp.any(vlb > vub + 1e-9)
         return vlb, vub, infeas
+
+    return fbbt_round
+
+
+def build_node_step_unjitted(sp: StagedProblem,
+                             opts: StepOptions = StepOptions()) -> Callable:
+    """Returns the traceable single-lane step_one(A, clb, cub, vlb, vub,
+    x0) -> StepResult for embedding into larger programs (sharded pools)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = sp.n
+    solve_one = build_single_solver(sp, opts.ipm)
+    int_mask = jnp.asarray(sp.int_mask)
+    has_ints = bool(sp.int_mask.any())
+    fbbt_round = build_fbbt_sweep(sp, opts.int_tol)
 
     def step_one(A, clb, cub, vlb, vub, x0):
         infeas = jnp.asarray(False)
