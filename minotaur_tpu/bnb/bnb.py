@@ -79,6 +79,15 @@ class BranchAndBound:
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
         self._log = self.env.logger
+        # pseudocosts (reference: ReliabilityBrancher pseudo-cost arrays,
+        # ReliabilityBrancher.cpp:161-236; initialized from observed child
+        # bound gains instead of serial strong-branch probes)
+        self._brancher = str(opts.get("brancher"))
+        nn = self.sp.n
+        self._pc_up = np.zeros(nn)
+        self._pc_down = np.zeros(nn)
+        self._pc_up_cnt = np.zeros(nn, dtype=np.int64)
+        self._pc_down_cnt = np.zeros(nn, dtype=np.int64)
 
     # ------------------------------------------------------------- bounds
     def _gap(self) -> float:
@@ -135,16 +144,32 @@ class BranchAndBound:
     def solve(self) -> SolveStatus:
         t0 = time.monotonic()
         last_log = t0
+        last_ckpt = t0
+        opts = self.env.options
+        ckpt_file = opts.get("checkpoint_file")
+        ckpt_interval = float(opts.get("checkpoint_interval"))
         self.status = SolveStatus.STARTED
-        if self._root_presolve() is not None:
+        resumed = False
+        if ckpt_file and opts.get("resume"):
+            import os
+            if os.path.exists(ckpt_file):
+                from .checkpoint import load_checkpoint
+                load_checkpoint(ckpt_file, self)
+                self._log.info(
+                    f"resumed from {ckpt_file}: {len(self.tm)} open nodes, "
+                    f"ub {self.ub:.8g}")
+                resumed = True
+        if not resumed and self._root_presolve() is not None:
             return self.status
         n = self.sp.n
-        root = Node(nid=0, depth=0, lb=-_INF,
-                    vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),
-                    warm_x=(self.problem.initial_point.copy()
-                            if self.problem.initial_point is not None else None))
-        self.tm.insert_root(root)
-        next_id = 1
+        if not resumed:
+            root = Node(nid=0, depth=0, lb=-_INF,
+                        vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),
+                        warm_x=(self.problem.initial_point.copy()
+                                if self.problem.initial_point is not None
+                                else None))
+            self.tm.insert_root(root)
+        next_id = max((t[2].nid for t in self.tm._heap), default=-1) + 1
 
         while len(self.tm):
             stop = self._should_stop(t0)
@@ -191,6 +216,10 @@ class BranchAndBound:
                     f"  {now - t0:8.1f}s  nodes {self.stats.nodes_processed:8d} "
                     f"open {len(self.tm):7d}  lb {self.lb:.8g}  ub {self.ub:.8g} "
                     f" gap {self._gap() * 100:.4g}%")
+            if ckpt_file and now - last_ckpt >= ckpt_interval:
+                last_ckpt = now
+                from .checkpoint import save_checkpoint
+                save_checkpoint(ckpt_file, self)
 
         if self.status in (SolveStatus.STARTED, SolveStatus.NOT_STARTED):
             # tree exhausted
@@ -238,6 +267,19 @@ class BranchAndBound:
         """Prune/incumbent/branch decision for one node — the semantics of
         PCBProcessor::shouldPrune_ + IntVarHandler feasibility/branching."""
         node_bound = max(node.lb, db if db > -_INF else node.lb)
+        # pseudocost update from the observed parent->child bound gain
+        if node.branch_var >= 0 and node.lb > -_INF and \
+                node_bound > node.lb and node.branch_frac > 1e-9:
+            gain = (node_bound - node.lb) / node.branch_frac
+            j = node.branch_var
+            if node.branch_dir:
+                c = self._pc_up_cnt[j]
+                self._pc_up[j] = (self._pc_up[j] * c + gain) / (c + 1)
+                self._pc_up_cnt[j] = c + 1
+            else:
+                c = self._pc_down_cnt[j]
+                self._pc_down[j] = (self._pc_down[j] * c + gain) / (c + 1)
+                self._pc_down_cnt[j] = c + 1
         if self._is_lp_relax:
             bound_for_prune = node_bound
         else:
@@ -291,7 +333,10 @@ class BranchAndBound:
             node.status = NodeStatus.DOMINATED
             return next_id
 
-        # branch on bvar at bval (two children, reference IntVarHandler:133)
+        # branching variable selection: pseudocost product rule when the
+        # brancher is 'rel' and costs are observed; otherwise the device's
+        # most-fractional candidate (reference MaxVioBrancher)
+        bvar, bval = self._select_branch_var(x, nvlb, nvub, bvar, bval)
         lo = math.floor(bval + self._int_tol)
         if math.isfinite(nvlb[bvar]):
             lo = max(lo, int(math.ceil(nvlb[bvar] - 1e-9)))
@@ -304,14 +349,41 @@ class BranchAndBound:
             cvub = nvub.copy()
             if side == 0:
                 cvub[bvar] = lo
+                frac = max(bval - lo, 0.0)
             else:
                 cvlb[bvar] = lo + 1
+                frac = max(lo + 1 - bval, 0.0)
             children.append(Node(
                 nid=next_id + side, depth=node.depth + 1, lb=child_bound,
-                vlb=cvlb, vub=cvub, warm_x=x.copy(), branch_var=bvar))
+                vlb=cvlb, vub=cvub, warm_x=x.copy(), branch_var=bvar,
+                branch_dir=side, branch_frac=frac))
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
+
+    def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
+                           bvar: int, bval: float):
+        """Pseudocost product-rule selection (reference:
+        ReliabilityBrancher score, weighted min/max of up/down gains)."""
+        if self._brancher != "rel":
+            return bvar, bval
+        ints = self.sp.int_mask
+        frac = np.where(ints, np.abs(x - np.round(x)), 0.0)
+        frac = np.where(nvub - nvlb > 1e-9, frac, 0.0)
+        cand = np.where(frac > self._int_tol)[0]
+        if len(cand) <= 1:
+            return bvar, bval
+        avg_up = self._pc_up[self._pc_up_cnt > 0]
+        avg_dn = self._pc_down[self._pc_down_cnt > 0]
+        mu_up = avg_up.mean() if len(avg_up) else 1.0
+        mu_dn = avg_dn.mean() if len(avg_dn) else 1.0
+        pu = np.where(self._pc_up_cnt[cand] > 0, self._pc_up[cand], mu_up)
+        pd = np.where(self._pc_down_cnt[cand] > 0, self._pc_down[cand],
+                      mu_dn)
+        f = x[cand] - np.floor(x[cand])
+        score = np.maximum(pd * f, 1e-8) * np.maximum(pu * (1 - f), 1e-8)
+        j = cand[int(np.argmax(score))]
+        return int(j), float(x[j])
 
 
 def solve_file(path: str, env: Optional[Environment] = None,

@@ -27,8 +27,10 @@ class Node:
     vub: np.ndarray                 # (n,)
     warm_x: Optional[np.ndarray] = None   # parent relaxation solution
     status: NodeStatus = NodeStatus.NOT_PROCESSED
-    branch_var: int = -1            # var this node branched on (for stats)
-    tb_score: float = 0.0           # tie-break score
+    branch_var: int = -1            # var whose branch created this node
+    branch_dir: int = 0             # 0 = down child, 1 = up child
+    branch_frac: float = 0.0        # |LP value - imposed bound| at parent
+    tb_score: float = 0.0           # tie-break / requeue counter
 
     def __lt__(self, other: "Node") -> bool:  # heap ordering fallback
         return self.lb < other.lb

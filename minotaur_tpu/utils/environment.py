@@ -86,6 +86,7 @@ def _create_default_options(db: OptionDB) -> None:
     ins("threads", int, "kept for reference CLI parity; maps to node_batch", 0)
     ins("checkpoint_file", str, "periodically checkpoint the search state here", "")
     ins("checkpoint_interval", float, "seconds between checkpoints", 300.0)
+    ins("resume", bool, "resume from checkpoint_file if it exists", False)
 
 
 class Environment:

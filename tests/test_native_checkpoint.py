@@ -1,0 +1,102 @@
+"""Native tree store + checkpoint/resume + distributed pool tests.
+
+Reference analogues: NodeHeap ordering tests, SerializeUT round-trip
+(SerializeUT.cpp:50-60 — here the 'serializer' is np.savez of dense
+arrays), and mpi_test.sh (here: an in-process 8-device mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from minotaur_tpu.bnb.bnb import BranchAndBound
+from minotaur_tpu.bnb.checkpoint import load_checkpoint, save_checkpoint
+from minotaur_tpu.io.nl_reader import read_nl
+from minotaur_tpu.parallel.dist_bnb import DistBranchAndBound
+from minotaur_tpu.parallel.pool import deal_round_robin
+from minotaur_tpu.utils.environment import Environment
+from minotaur_tpu.utils.types import SolveStatus
+
+from conftest import REF_INSTANCES, REF_TEST_INSTANCES
+
+
+def test_native_treestore_roundtrip():
+    native = pytest.importorskip("minotaur_tpu.native")
+    ts = native.NativeTreeStore(3, order=2)
+    for k in range(10):
+        ts.push(k, k % 3, lb=float(10 - k), vlb=np.full(3, -k),
+                vub=np.full(3, k), warm=np.arange(3.0) * k, bvar=k % 2)
+    assert len(ts) == 10
+    assert ts.best_lb() == pytest.approx(1.0)
+    got, pruned, vlb, vub, warm, hw, lb, depth, nid, bvar = ts.pop_batch(4)
+    assert got == 4
+    np.testing.assert_allclose(lb, [1.0, 2.0, 3.0, 4.0])  # best-first
+    np.testing.assert_allclose(vub[0], 9.0)               # slab contents
+    assert ts.prune(8.5) == 2
+    got, pruned, *_ = ts.pop_batch(10, cutoff=7.5)
+    assert got == 3 and pruned == 1
+
+
+def test_native_treestore_batch_push():
+    native = pytest.importorskip("minotaur_tpu.native")
+    n, k = 5, 7
+    ts = native.NativeTreeStore(n)
+    ts.push_batch(np.arange(k), np.zeros(k, np.int64),
+                  np.arange(k, dtype=float)[::-1].copy(),
+                  np.tile(np.arange(n, dtype=float), (k, 1)),
+                  np.full((k, n), 9.0), np.zeros((k, n)),
+                  np.ones(k, np.int32), np.full(k, -1, np.int64))
+    got, _, vlb, *_rest = ts.pop_batch(k)
+    assert got == k
+    np.testing.assert_allclose(vlb[0], np.arange(n))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = read_nl(os.path.join(REF_TEST_INSTANCES, "color_lab2_4x0.nl"))
+    env = Environment()
+    env.set_option("node_batch", 8)
+    env.set_option("bnb_node_limit", 16)
+    env.set_option("log_level", 1)
+    bab = BranchAndBound(p, env)
+    bab.solve()
+    lb1 = bab.lb
+    ck = str(tmp_path / "state.npz")
+    save_checkpoint(ck, bab)
+
+    env2 = Environment()
+    env2.set_option("node_batch", 8)
+    env2.set_option("bnb_node_limit", 16)
+    env2.set_option("log_level", 1)
+    env2.set_option("checkpoint_file", ck)
+    env2.set_option("resume", True)
+    bab2 = BranchAndBound(
+        read_nl(os.path.join(REF_TEST_INSTANCES, "color_lab2_4x0.nl")), env2)
+    bab2.solve()
+    # resumed search continues: bound monotone, node ids do not clash
+    assert bab2.lb >= lb1 - 1e-9
+
+
+def test_deal_round_robin_balanced():
+    lbs = np.array([5.0, 1.0, 3.0, 2.0, 4.0, 0.0, 7.0, 6.0])
+    parts = deal_round_robin(lbs, 4)
+    # each partition gets 2 nodes; the two best go to different parts
+    counts = np.bincount(parts, minlength=4)
+    np.testing.assert_array_equal(counts, [2, 2, 2, 2])
+    assert parts[np.argmin(lbs)] != parts[np.argsort(lbs)[1]]
+
+
+def test_distributed_bnb_mesh():
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("nodes",))
+    p = read_nl(os.path.join(REF_TEST_INSTANCES, "nvs08.nl"))
+    env = Environment()
+    env.set_option("node_batch", 16)
+    env.set_option("log_level", 1)
+    bab = DistBranchAndBound(p, mesh, env)
+    status = bab.solve()
+    assert status == SolveStatus.SOLVED_OPTIMAL
+    expected = 2.0 + (4.0 + 5.0 ** (-2.0 / 7.0)) ** 2
+    assert bab.ub == pytest.approx(expected, abs=1e-5)
