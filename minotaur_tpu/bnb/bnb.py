@@ -79,6 +79,9 @@ class BranchAndBound:
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
         self._log = self.env.logger
+        # device-resident constants: shipping A through the device tunnel
+        # every superstep costs more than the solve itself
+        self._dev_consts: Optional[tuple] = None
         # pseudocosts (reference: ReliabilityBrancher pseudo-cost arrays,
         # ReliabilityBrancher.cpp:161-236; initialized from observed child
         # bound gains instead of serial strong-branch probes)
@@ -196,8 +199,7 @@ class BranchAndBound:
             vub_b = np.stack([nd.vub for nd in batch])
             x0_b = np.stack([nd.warm_x if nd.warm_x is not None
                              else np.zeros(n) for nd in batch])
-            res = self._step(self.sp.A, self.sp.clb, self.sp.cub,
-                             vlb_b, vub_b, x0_b)
+            res = self._run_step(vlb_b, vub_b, x0_b)
             self.stats.batches += 1
             self.stats.solves += B
 
@@ -236,6 +238,15 @@ class BranchAndBound:
             self.lb = self.ub if self.ub < _INF else self.lb
         self.stats.time = time.monotonic() - t0
         return self.status
+
+    def _run_step(self, vlb_b, vub_b, x0_b):
+        if self._dev_consts is None:
+            import jax.numpy as jnp
+            self._dev_consts = (jnp.asarray(self.sp.A),
+                                jnp.asarray(self.sp.clb),
+                                jnp.asarray(self.sp.cub))
+        A, clb, cub = self._dev_consts
+        return self._step(A, clb, cub, vlb_b, vub_b, x0_b)
 
     # ---------------------------------------------------------- per batch
     def _handle_batch(self, batch: List[Node], res, next_id: int) -> int:

@@ -228,7 +228,15 @@ class QGBranchAndBound(BranchAndBound):
         return super().solve()
 
     def _run_step(self, vlb_b, vub_b, x0_b):
-        return self._step(self.mA, self.mclb, self.mcub, vlb_b, vub_b, x0_b)
+        # device copies of the master arrays, refreshed only when the cut
+        # pool changed (cheap bookkeeping beats re-uploading every step)
+        if getattr(self, "_dev_cut_version", -1) != self.n_cuts:
+            import jax.numpy as jnp
+            self._dev_consts = (jnp.asarray(self.mA), jnp.asarray(self.mclb),
+                                jnp.asarray(self.mcub))
+            self._dev_cut_version = self.n_cuts
+        A, clb, cub = self._dev_consts
+        return self._step(A, clb, cub, vlb_b, vub_b, x0_b)
 
     def _try_fixint_incumbents(self, x_master_batch: np.ndarray) -> None:
         """Fix integers at the given master-space points, solve the NLPs,

@@ -52,6 +52,14 @@ class IPMOptions:
     reg_dual: float = 1e-9
     sigma_pow: int = 3          # Mehrotra sigma = (mu_aff/mu)^pow
     infeas_mu: float = 1e-10    # mu below this + primal infeasible => INFEAS
+    # Factorize in f32 with Jacobi pre-scaling and refine the direction in
+    # f64 against the true operator.  On TPU, f64 Cholesky is ~200x slower
+    # than f32 (emulated sequential diagonal ops) while f64 matmuls are
+    # near-native, so refinement is nearly free.  Soundness is unaffected
+    # (certified bounds / residual-based statuses); only convergence speed
+    # could suffer on ill-conditioned lanes.
+    factor_f32: bool = True
+    refine_steps: int = 2
 
 
 class IPMResult(NamedTuple):
@@ -73,6 +81,72 @@ def _max_step(jnp, v, dv, tau, mask):
     bad = (dv < 0) & mask
     ratio = jnp.where(bad, -tau * v / jnp.where(bad, dv, -1.0), 1.0)
     return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
+
+
+def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
+    """SPD solve M x = r with optional f32 factorization.
+
+    Jacobi-equilibrates M (the barrier's ill-conditioning is mostly
+    diagonal), Cholesky-factorizes in f32, and refines each solve in f64
+    against the ORIGINAL M.  Falls back to a Gershgorin-shifted retry if
+    the factorization produces non-finite values (inertia correction).
+    Returns (solve, bad_flag)."""
+    k = M.shape[0]
+    # Jacobi scaling clamped so indefinite inputs (negative diagonals from
+    # nonconvex Lagrangian Hessians) do not explode the equilibration
+    diag = jnp.diagonal(M)
+    dmax = jnp.maximum(jnp.max(jnp.abs(diag)), 1e-30)
+    d = jnp.sqrt(jnp.clip(diag, 1e-12 * dmax, None))
+    dinv = 1.0 / d
+    Ms = M * dinv[:, None] * dinv[None, :]
+
+    if use_f32 is None:
+        use_f32 = opts.factor_f32
+
+    def chol(mat):
+        if use_f32:
+            return jnp.linalg.cholesky(mat.astype(jnp.float32))
+        return jnp.linalg.cholesky(mat)
+
+    L1 = chol(Ms)
+    bad = ~jnp.all(jnp.isfinite(L1))
+    gersh = jnp.min(jnp.diagonal(Ms) -
+                    (jnp.sum(jnp.abs(Ms), axis=1) -
+                     jnp.abs(jnp.diagonal(Ms))))
+    shift = jnp.where(bad, jnp.maximum(1e-6, -gersh) + 1e-6, 0.0)
+    L2 = chol(Ms + (shift + 1e-7) * jnp.eye(k, dtype=Ms.dtype))
+    L = jnp.where(bad, L2, L1)
+    bad2 = ~jnp.all(jnp.isfinite(L))
+    L = jnp.where(bad2, jnp.eye(k, dtype=L.dtype), L)
+    # the operator actually factorized (for refinement): the inertia
+    # shift lives in scaled space, i.e. adds shift * d^2 on the diagonal
+    shift_vec = jnp.where(bad, shift + 1e-7, 0.0) * d * d
+
+    import jax.scipy.linalg as jsl
+
+    def base_solve(r):
+        # scaled solve in factor dtype; handles vector or matrix rhs
+        rr = r if r.ndim == 2 else r[:, None]
+        u = (rr * dinv[:, None]).astype(L.dtype)
+        v = jsl.cho_solve((L, True), u)
+        out = v.astype(M.dtype) * dinv[:, None]
+        return out if r.ndim == 2 else out[:, 0]
+
+    def apply_eff(x):
+        # operator matching the factorization (including inertia shift)
+        if x.ndim == 2:
+            return M @ x + shift_vec[:, None] * x
+        return M @ x + shift_vec * x
+
+    def solve(r):
+        x = base_solve(r)
+        if use_f32:
+            for _ in range(opts.refine_steps):
+                res = r - apply_eff(x)   # f64 matmul: near-native on TPU
+                x = x + base_solve(res)
+        return x
+
+    return solve, (bad & bad2)
 
 
 def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
@@ -252,7 +326,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             b = row_term + col_term - slack_pen + sp.obj_const
             return jnp.where(jnp.isnan(b), -_BIG, b)
 
-        def step(carry):
+        def make_step(use_f32):
+          def step(carry):
             z, y, zl, zu, k, err, mu_prev, best_db = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
@@ -284,30 +359,22 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
                     W = jnp.where(wmask, W, 0.0)
                 Mx = W + jnp.diag(Dx_diag) + (Jm.T * ineq_w[None, :]) @ Jm
-                L1 = jnp.linalg.cholesky(Mx)
-                bad = ~jnp.all(jnp.isfinite(L1))
-                gersh = jnp.min(jnp.diag(Mx) -
-                                (jnp.sum(jnp.abs(Mx), axis=1) -
-                                 jnp.abs(jnp.diag(Mx))))
-                shift = jnp.where(bad, jnp.maximum(1e-8, -gersh) + 1e-6, 0.0)
-                L2 = jnp.linalg.cholesky(Mx + shift * jnp.eye(n))
-                Lm = jnp.where(bad, L2, L1)
+                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, opts, use_f32)
                 if m_eq:
                     Je = Jm[eq_rows]
-                    MeJ = jax.scipy.linalg.cho_solve((Lm, True), Je.T)
+                    MeJ = solve_mx(Je.T)
                     S = Je @ MeJ + 1e-10 * jnp.eye(m_eq)
-                    Ls = jnp.linalg.cholesky(S)
+                    solve_s, _ = _make_spd_solver(jax, jnp, S, opts, use_f32)
 
-                def solve_xyz(rhs1, rhs2, rhs3):
+                def raw_xyz(rhs1, rhs2, rhs3):
                     rx = rhs1 + Jm.T @ (ineq_w * rhs3 + rhs2)
                     rx = jnp.where(fixed_x, 0.0, rx)
                     if m_eq:
-                        t = jax.scipy.linalg.cho_solve((Lm, True), rx)
-                        dy_eq = jax.scipy.linalg.cho_solve(
-                            (Ls, True), Je @ t - rhs3[eq_rows])
+                        t = solve_mx(rx)
+                        dy_eq = solve_s(Je @ t - rhs3[eq_rows])
                         dx = t - MeJ @ dy_eq
                     else:
-                        dx = jax.scipy.linalg.cho_solve((Lm, True), rx)
+                        dx = solve_mx(rx)
                     dx = jnp.where(fixed_x, 0.0, dx)
                     ds = J @ dx - rhs3
                     dy = Ds * ds - rhs2
@@ -316,6 +383,31 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                         # come from the Schur block
                         ds = ds.at[eq_rows].set(0.0)
                         dy = dy.at[eq_rows].set(dy_eq)
+                    return dx, ds, dy
+
+                def solve_xyz(rhs1, rhs2, rhs3):
+                    """raw solve + KKT-level defect correction: the naive
+                    multiplier recovery dy = Ds*ds - rhs2 multiplies the
+                    f32 solve error by Ds (up to ~1e12 near convergence),
+                    so residuals of the BLOCK equations are recomputed in
+                    f64 and the correction re-solved jointly."""
+                    dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
+                    if use_f32:
+                        for _ in range(2):
+                            if is_lp:
+                                wdx = Dx_diag * dx
+                            else:
+                                wdx = W @ dx + Dx_diag * dx
+                            e1 = rhs1 - (wdx + J.T @ dy)
+                            e1 = jnp.where(fixed_x, 0.0, e1)
+                            e2 = rhs2 - (Ds * ds - dy)
+                            e3 = rhs3 - (J @ dx - ds)
+                            if m_eq:
+                                e2 = e2.at[eq_rows].set(0.0)
+                            cx, cs, cy = raw_xyz(e1, e2, e3)
+                            dx = dx + cx
+                            ds = ds + cs
+                            dy = dy + cy
                     return dx, ds, dy
             else:
                 # m-space (classic normal equations) — better for LP with
@@ -328,26 +420,15 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 else:
                     W = hess_W(x, y)
                     Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
-                    # inertia correction (as Ipopt does on indefinite
-                    # Hessians): Gershgorin shift fallback if not PD
-                    L1 = jnp.linalg.cholesky(Hbar)
-                    bad = ~jnp.all(jnp.isfinite(L1))
-                    gersh = jnp.min(jnp.diag(Hbar) -
-                                    (jnp.sum(jnp.abs(Hbar), axis=1) -
-                                     jnp.abs(jnp.diag(Hbar))))
-                    shift = jnp.where(bad, jnp.maximum(1e-8, -gersh) + 1e-6,
-                                      0.0)
-                    L2 = jnp.linalg.cholesky(Hbar + shift * jnp.eye(n))
-                    Lh = jnp.where(bad, L2, L1)
-                    Hsolve = lambda r: jax.scipy.linalg.cho_solve((Lh, True), r)
+                    Hsolve, _ = _make_spd_solver(jax, jnp, Hbar, opts, use_f32)
                     JHJ = J @ Hsolve(J.T)
 
                 M = JHJ + jnp.diag(1.0 / Ds)
-                Lm = jnp.linalg.cholesky(M)
+                solve_m, _ = _make_spd_solver(jax, jnp, M, opts, use_f32)
 
                 def solve_xyz(rhs1, rhs2, rhs3):
                     rhs_y = J @ Hsolve(rhs1) - rhs3 - rhs2 / Ds
-                    dy = jax.scipy.linalg.cho_solve((Lm, True), rhs_y)
+                    dy = solve_m(rhs_y)
                     dx = Hsolve(rhs1 - J.T @ dy)
                     ds = (dy + rhs2) / Ds
                     return dx, ds, dy
@@ -413,15 +494,52 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             if is_lp:
                 best_db = jnp.maximum(best_db, dual_cert_bound(y_new))
             return z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db
+          return step
 
-        def cond(carry):
-            _, _, _, _, k, err, _, _ = carry
-            return (k < opts.max_iters) & (err > opts.tol)
+        def cond_to(tol_target):
+            def cond(carry):
+                _, _, _, _, k, err, _, _ = carry
+                return (k < opts.max_iters) & (err > tol_target)
+            return cond
 
         rd_x0, rd_s0, rp0, _, _ = residuals(A, z0, y0, zl0, zu0)
         err0, mu0 = kkt_error(z0, y0, zl0, zu0, rd_x0, rd_s0, rp0)
-        z, y, zl, zu, iters, err, mu, best_db = jax.lax.while_loop(
-            cond, step, (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG))
+        state0 = (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG)
+        if opts.factor_f32:
+            # two-phase: f32-factorized iterations until moderately
+            # converged (f32+refinement stalls once the barrier pushes the
+            # equilibrated condition number past ~1/eps32), then a
+            # f64-factorized tail to the real tolerance.  Phase 1 is
+            # capped at half the budget so a stalling f32 phase cannot
+            # starve the tail.
+            switch_tol = max(opts.tol, 1e-4)
+            cap1 = max(1, opts.max_iters // 2)
+
+            def cond1(carry):
+                _, _, _, _, k, err, _, _ = carry
+                return (k < cap1) & (err > switch_tol)
+
+            state1 = jax.lax.while_loop(cond1, make_step(True), state0)
+            # keep phase-1's state only if it actually improved: an
+            # ill-conditioned f32 phase can blow up the multipliers and
+            # leave the tail worse than a cold start
+            improved = state1[5] <= err0
+            keep = lambda a, b: jax.tree_util.tree_map(
+                lambda u, v: jnp.where(improved, u, v), a, b)
+            state1 = keep(state1, (z0, y0, zl0, zu0, state1[4], err0, mu0,
+                                   state1[7]))
+
+            def cond_tail(carry):
+                # the f64 tail gets its own full budget: phase-1 iters are
+                # cheap and must not starve it
+                _, _, _, _, k, err, _, _ = carry
+                return (k < cap1 + opts.max_iters) & (err > opts.tol)
+
+            state2 = jax.lax.while_loop(cond_tail, make_step(False), state1)
+        else:
+            state2 = jax.lax.while_loop(cond_to(opts.tol),
+                                        make_step(False), state0)
+        z, y, zl, zu, iters, err, mu, best_db = state2
 
         x = z[:n]
         obj = f_obj(x, c_in) + sp.obj_const
