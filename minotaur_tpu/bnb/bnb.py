@@ -308,6 +308,28 @@ class BranchAndBound:
             node.status = NodeStatus.PRUNED_BY_BOUND
             return next_id
 
+        # SOS enforcement (reference: SOS1Handler/SOS2Handler set-partition
+        # branching): runs before incumbent acceptance
+        if int_feas and (self.problem._sos1 or self.problem._sos2):
+            sos_branch = self._check_sos(x, nvlb, nvub)
+            if sos_branch is not None:
+                side_vars_a, side_vars_b = sos_branch
+                child_bound = max(node.lb, bound_for_prune)
+                children = []
+                for side, kill in enumerate((side_vars_a, side_vars_b)):
+                    cvlb = nvlb.copy()
+                    cvub = nvub.copy()
+                    for j in kill:
+                        if cvlb[j] <= 0.0 <= cvub[j]:
+                            cvlb[j] = 0.0
+                            cvub[j] = 0.0
+                    children.append(Node(
+                        nid=next_id + side, depth=node.depth + 1,
+                        lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy()))
+                node.status = NodeStatus.BRANCHED
+                self.tm.branch(children, node)
+                return next_id + 2
+
         if int_feas and status in (EngineStatus.SOLVED_OPTIMAL,
                                    EngineStatus.ITERATION_LIMIT):
             # relaxation solution is MINLP-feasible: candidate incumbent.
@@ -371,6 +393,28 @@ class BranchAndBound:
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
+
+    def _check_sos(self, x: np.ndarray, nvlb, nvub, tol: float = 1e-6):
+        """If an SOS set is violated at x, return the two variable groups
+        to zero out in the children (reference: SOS1Handler::getBranches /
+        SOS2Handler set-partition branching); else None."""
+        for weights, vs in self.problem._sos1:
+            nz = [j for j in vs if abs(x[j]) > tol and nvub[j] > tol]
+            if len(nz) > 1:
+                # split at the weighted midpoint of the nonzeros
+                mid = len(nz) // 2
+                order = sorted(nz, key=lambda j: weights[vs.index(j)]
+                               if j in vs else 0.0)
+                return order[mid:], order[:mid]
+        for weights, vs in self.problem._sos2:
+            nz = [i for i, j in enumerate(vs)
+                  if abs(x[j]) > tol and nvub[j] > tol]
+            if len(nz) > 2 or (len(nz) == 2 and nz[1] - nz[0] != 1):
+                mid = (nz[0] + nz[-1]) // 2
+                # SOS2: children forbid vars strictly right/left of mid
+                return [vs[i] for i in range(mid + 1, len(vs))], \
+                       [vs[i] for i in range(0, mid)]
+        return None
 
     def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
                            bvar: int, bval: float):

@@ -95,7 +95,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
     # Jacobi scaling clamped so indefinite inputs (negative diagonals from
     # nonconvex Lagrangian Hessians) do not explode the equilibration
     diag = jnp.diagonal(M)
-    dmax = jnp.maximum(jnp.max(jnp.abs(diag)), 1e-30)
+    dmax = jnp.maximum(jnp.max(jnp.abs(diag), initial=0.0), 1e-30)
     d = jnp.sqrt(jnp.clip(diag, 1e-12 * dmax, None))
     dinv = 1.0 / d
     Ms = M * dinv[:, None] * dinv[None, :]
@@ -112,7 +112,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
     bad = ~jnp.all(jnp.isfinite(L1))
     gersh = jnp.min(jnp.diagonal(Ms) -
                     (jnp.sum(jnp.abs(Ms), axis=1) -
-                     jnp.abs(jnp.diagonal(Ms))))
+                     jnp.abs(jnp.diagonal(Ms))), initial=0.0)
     shift = jnp.where(bad, jnp.maximum(1e-6, -gersh) + 1e-6, 0.0)
     L2 = chol(Ms + (shift + 1e-7) * jnp.eye(k, dtype=Ms.dtype))
     L = jnp.where(bad, L2, L1)
