@@ -249,9 +249,12 @@ class BranchAndBound:
         return self._step(A, clb, cub, vlb_b, vub_b, x0_b)
 
     # ---------------------------------------------------------- per batch
-    def _handle_batch(self, batch: List[Node], res, next_id: int) -> int:
+    def _handle_batch(self, batch: List[Node], res, next_id: int,
+                      seen: Optional[set] = None) -> int:
         """Dispatch one superstep's results to per-node decisions.
-        Subclasses (QG) intercept integral lanes here for separation."""
+        Subclasses (QG) intercept integral lanes here for separation.
+        `seen` dedups padding duplicates, shareable across partition
+        slices by the distributed driver."""
         status = np.asarray(res.status)
         obj = np.asarray(res.obj)
         db = np.asarray(res.dual_bound)
@@ -261,7 +264,8 @@ class BranchAndBound:
         bval = np.asarray(res.branch_val)
         nvlb = np.asarray(res.new_vlb)
         nvub = np.asarray(res.new_vub)
-        seen = set()
+        if seen is None:
+            seen = set()
         for i, node in enumerate(batch):
             if id(node) in seen:
                 continue  # padding duplicate

@@ -198,7 +198,14 @@ class QGBranchAndBound(BranchAndBound):
 
     # --------------------------------------------------------- overrides
     def solve(self) -> SolveStatus:
-        # root continuous NLP + initial linearization (initLinear_)
+        st = self._qg_root()
+        if st is not None:
+            return st
+        return super().solve()
+
+    def _qg_root(self) -> Optional[SolveStatus]:
+        """Root continuous NLP + initial linearization (initLinear_).
+        Returns a terminal status or None to continue into the tree."""
         sp = self.sp_orig
         res = self._nlp_solve(sp.A, sp.clb, sp.cub,
                               sp.vlb[None, :], sp.vub[None, :])
@@ -225,7 +232,7 @@ class QGBranchAndBound(BranchAndBound):
                     self.ub = float(self.problem.eval_objective(xr))
                     self.best_x = xr
                     self.stats.sols_found += 1
-        return super().solve()
+        return None
 
     def _run_step(self, vlb_b, vub_b, x0_b):
         # device copies of the master arrays, refreshed only when the cut
@@ -280,7 +287,8 @@ class QGBranchAndBound(BranchAndBound):
         if pts:
             self._try_fixint_incumbents(np.stack(pts))
 
-    def _handle_batch(self, batch: List[Node], res, next_id: int) -> int:
+    def _handle_batch(self, batch: List[Node], res, next_id: int,
+                      seen: Optional[set] = None) -> int:
         status = np.asarray(res.status)
         obj = np.asarray(res.obj)
         db = np.asarray(res.dual_bound)
@@ -300,7 +308,9 @@ class QGBranchAndBound(BranchAndBound):
         # supplies the incumbents plain QG only finds at integral LPs.
         sep_lanes: List[int] = []
         heur_lanes: List[int] = []
-        seen = set()
+        if seen is None:
+            seen = set()
+        seen_sep = set(seen)
         for i, node in enumerate(batch):
             if id(node) in seen:
                 continue
@@ -364,11 +374,10 @@ class QGBranchAndBound(BranchAndBound):
 
         # --- per-node decisions -----------------------------------------
         sep_map = {i: j for j, i in enumerate(sep_lanes)}
-        seen = set()
         for i, node in enumerate(batch):
-            if id(node) in seen:
+            if id(node) in seen_sep:
                 continue
-            seen.add(id(node))
+            seen_sep.add(id(node))
             if i in sep_map:
                 j = sep_map[i]
                 next_id = self._process_integral_lane(

@@ -59,7 +59,7 @@ class IPMOptions:
     # (certified bounds / residual-based statuses); only convergence speed
     # could suffer on ill-conditioned lanes.
     factor_f32: bool = True
-    refine_steps: int = 2
+    refine_steps: int = 3
 
 
 class IPMResult(NamedTuple):
@@ -124,11 +124,17 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
 
     import jax.scipy.linalg as jsl
 
+    # Explicit inverse of the scaled factorized operator: triangular-solve
+    # CALLS are latency-bound on TPU (~8 ms each regardless of rhs width),
+    # and the IPM issues dozens per iteration — so pay 2 wide TRSMs here
+    # and make every subsequent solve a pure MXU matmul.
+    Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
+
     def base_solve(r):
         # scaled solve in factor dtype; handles vector or matrix rhs
         rr = r if r.ndim == 2 else r[:, None]
         u = (rr * dinv[:, None]).astype(L.dtype)
-        v = jsl.cho_solve((L, True), u)
+        v = Minv_s @ u
         out = v.astype(M.dtype) * dinv[:, None]
         return out if r.ndim == 2 else out[:, 0]
 
@@ -139,11 +145,12 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
         return M @ x + shift_vec * x
 
     def solve(r):
+        # refinement needed in BOTH dtypes now that solves go through an
+        # explicit inverse (error ~ kappa * eps instead of backward-stable)
         x = base_solve(r)
-        if use_f32:
-            for _ in range(opts.refine_steps):
-                res = r - apply_eff(x)   # f64 matmul: near-native on TPU
-                x = x + base_solve(res)
+        for _ in range(opts.refine_steps + (1 if use_f32 else 0)):
+            res = r - apply_eff(x)       # f64 matmul: near-native on TPU
+            x = x + base_solve(res)
         return x
 
     return solve, (bad & bad2)

@@ -42,6 +42,9 @@ class DistBranchAndBound(BranchAndBound):
     def __init__(self, problem: Problem, mesh,
                  env: Optional[Environment] = None):
         super().__init__(problem, env=env)
+        self._init_dist(mesh)
+
+    def _init_dist(self, mesh) -> None:
         self.mesh = mesh
         self.n_parts = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         opts = self.env.options
@@ -105,31 +108,19 @@ class DistBranchAndBound(BranchAndBound):
             self.stats.batches += 1
             self.stats.solves += len(batch)
 
-            status = np.asarray(res.status)
-            obj = np.asarray(res.obj)
-            db = np.asarray(res.dual_bound)
-            xs = np.asarray(res.x)
-            int_feas = np.asarray(res.int_feasible)
-            bvar = np.asarray(res.branch_var)
-            bval = np.asarray(res.branch_val)
-            nvlb = np.asarray(res.new_vlb)
-            nvub = np.asarray(res.new_vub)
-
-            per_part_children: List[List[Node]] = [[] for _ in self.pools]
-            seen = set()
-            for i, node in enumerate(batch):
-                if id(node) in seen:
-                    continue
-                seen.add(id(node))
-                part = i // per
-                before = len(self.tm._heap)
-                # reuse the serial decision logic, but capture children
-                # into the owning partition's pool
+            # route each partition's slice through the algorithm's batch
+            # handler (QG separation etc.) with children captured into the
+            # owning partition's pool; the shared `seen` set prevents
+            # cross-partition filler duplicates from being processed twice
+            import jax.tree_util as jtu
+            shared_seen: set = set()
+            for part in range(self.n_parts):
+                lo, hi = part * per, (part + 1) * per
+                sub_batch = batch[lo:hi]
+                sub_res = jtu.tree_map(lambda a: a[lo:hi], res)
                 self._capture_part = part
-                next_id = self._process_result(
-                    node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
-                    int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
-                del before
+                next_id = self._handle_batch(sub_batch, sub_res, next_id,
+                                             shared_seen)
 
             open_lb = min([p.best_lb() for p in self.pools] +
                           [self.unresolved_lb])
@@ -161,11 +152,11 @@ class DistBranchAndBound(BranchAndBound):
         return self.status
 
     # children go to the partition that processed the parent; the tree
-    # manager passed to TreeManager.branch is the partition's
-    def _process_result(self, node, *args):
+    # manager seen by the serial decision logic is the partition's
+    def _handle_batch(self, batch, res, next_id, seen=None):
         part = getattr(self, "_capture_part", 0)
-        self.tm = self.pools[part]  # redirect branch() target
-        return super()._process_result(node, *args)
+        self.tm = self.pools[part]  # redirect branch()/requeue target
+        return super()._handle_batch(batch, res, next_id, seen)
 
     def _rebalance(self) -> None:
         """Global sort + round-robin deal (reference LoadBalance_)."""
@@ -178,3 +169,27 @@ class DistBranchAndBound(BranchAndBound):
         parts = deal_round_robin(lbs, self.n_parts)
         for nd, prt in zip(nodes, parts):
             self.pools[int(prt)].insert_candidate(nd)
+
+
+from ..bnb.qg import QGBranchAndBound  # noqa: E402  (no import cycle)
+
+
+class DistQGBranchAndBound(DistBranchAndBound, QGBranchAndBound):
+    """Distributed Quesada-Grossmann — the mqgmpi equivalent
+    (reference: QGMpi.{h,cpp} + MpiBranchAndBound).  The LP tree runs as a
+    mesh-sharded pool with partitioned tree managers; the cut pool is
+    global (the reference broadcasts the instance and keeps per-rank
+    relaxations consistent through identical cut additions — here the cut
+    pool is literally shared memory re-shipped to the mesh when it grows).
+    """
+
+    def __init__(self, problem: Problem, mesh,
+                 env: Optional[Environment] = None):
+        QGBranchAndBound.__init__(self, problem, env=env)
+        self._init_dist(mesh)
+
+    def solve(self):
+        st = self._qg_root()
+        if st is not None:
+            return st
+        return DistBranchAndBound.solve(self)
