@@ -45,7 +45,7 @@ _BIG = 1e20
 
 @dataclasses.dataclass(frozen=True)
 class IPMOptions:
-    max_iters: int = 60
+    max_iters: int = 90
     tol: float = 1e-8
     tau: float = 0.995          # fraction-to-boundary
     reg_primal: float = 1e-9
@@ -60,6 +60,7 @@ class IPMOptions:
     # could suffer on ill-conditioned lanes.
     factor_f32: bool = True
     refine_steps: int = 3
+    kkt_rounds: int = 2         # KKT-level defect-correction rounds (f32)
 
 
 class IPMResult(NamedTuple):
@@ -145,12 +146,22 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
         return M @ x + shift_vec * x
 
     def solve(r):
-        # refinement needed in BOTH dtypes now that solves go through an
-        # explicit inverse (error ~ kappa * eps instead of backward-stable)
+        # Refinement needed in BOTH dtypes now that solves go through an
+        # explicit inverse (error ~ kappa*eps instead of backward-stable),
+        # and MONOTONE: on indefinite-but-factorizable matrices (nonconvex
+        # Lagrangians whose Cholesky happens to succeed) naive refinement
+        # diverges — keep a correction only if the residual norm drops.
         x = base_solve(r)
+        res = r - apply_eff(x)           # f64 matmul: near-native on TPU
+        nrm = jnp.sum(res * res)
         for _ in range(opts.refine_steps + (1 if use_f32 else 0)):
-            res = r - apply_eff(x)       # f64 matmul: near-native on TPU
-            x = x + base_solve(res)
+            x2 = x + base_solve(res)
+            res2 = r - apply_eff(x2)
+            nrm2 = jnp.sum(res2 * res2)
+            better = nrm2 < nrm
+            x = jnp.where(better, x2, x)
+            res = jnp.where(better, res2, res)
+            nrm = jnp.minimum(nrm2, nrm)
         return x
 
     return solve, (bad & bad2)
@@ -178,6 +189,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
     eq_rows = np.where(np.isfinite(sp.clb) & np.isfinite(sp.cub) &
                        (np.abs(sp.cub - sp.clb) <= 1e-12))[0].astype(np.int32)
     m_eq = len(eq_rows)
+
+    # f32 factorization is restricted to LP/QP paths: nonconvex NLP
+    # Lagrangian Hessians change every iteration and the f32 phase can
+    # poison the multipliers faster than refinement recovers
+    if has_nl and opts.factor_f32:
+        opts = dataclasses.replace(opts, factor_f32=False)
 
     c_const = jnp.asarray(sp.c)
     Q_const = jnp.asarray(sp.Qobj) if has_q else None
@@ -400,7 +417,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     f64 and the correction re-solved jointly."""
                     dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
                     if use_f32:
-                        for _ in range(2):
+                        for _ in range(opts.kkt_rounds):
                             if is_lp:
                                 wdx = Dx_diag * dx
                             else:
@@ -456,7 +473,14 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 return dz, dy, dzl, dzu
 
             # predictor (affine)
-            dz_a, dy_a, dzl_a, dzu_a = solve_dirs(0.0, 0.0, 0.0)
+            import os as _os
+            _abl = _os.environ.get("MT_ABLATE", "")
+            if "nodirs" in _abl:
+                zed = jnp.zeros_like(z)
+                dz_a, dy_a = zed, jnp.zeros_like(y)
+                dzl_a, dzu_a = zed, zed
+            else:
+                dz_a, dy_a, dzl_a, dzu_a = solve_dirs(0.0, 0.0, 0.0)
             ap = jnp.minimum(_max_step(jnp, dl, dz_a, 1.0, fin_l),
                              _max_step(jnp, du, -dz_a, 1.0, fin_u))
             ad = jnp.minimum(_max_step(jnp, zl, dzl_a, 1.0, fin_l),
@@ -469,8 +493,11 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                              0.0, 1.0)
 
             # corrector
-            dz_c, dy_c, dzl_c, dzu_c = solve_dirs(
-                sigma * mu, dz_a * dzl_a, -dz_a * dzu_a)
+            if "nodirs" in _abl:
+                dz_c, dy_c, dzl_c, dzu_c = dz_a, dy_a, dzl_a, dzu_a
+            else:
+                dz_c, dy_c, dzl_c, dzu_c = solve_dirs(
+                    sigma * mu, dz_a * dzl_a, -dz_a * dzu_a)
 
             ap = jnp.minimum(_max_step(jnp, dl, dz_c, opts.tau, fin_l),
                              _max_step(jnp, du, -dz_c, opts.tau, fin_u))
@@ -480,13 +507,23 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 a = jnp.minimum(ap, ad)
                 ap = ad = a
 
-            z_new = z + ap * dz_c
-            y_new = y + ad * dy_c
-            zl_new = jnp.where(fin_l, jnp.maximum(zl + ad * dzl_c, 1e-300), 0.0)
-            zu_new = jnp.where(fin_u, jnp.maximum(zu + ad * dzu_c, 1e-300), 0.0)
+            def trial(scale):
+                zt = z + scale * ap * dz_c
+                yt = y + scale * ad * dy_c
+                zlt = jnp.where(fin_l,
+                                jnp.maximum(zl + scale * ad * dzl_c, 1e-300),
+                                0.0)
+                zut = jnp.where(fin_u,
+                                jnp.maximum(zu + scale * ad * dzu_c, 1e-300),
+                                0.0)
+                rd_xt, rd_st, rpt, _, _ = residuals(A, zt, yt, zlt, zut)
+                errt, mut = kkt_error(zt, yt, zlt, zut, rd_xt, rd_st, rpt)
+                return (zt, yt, zlt, zut, errt, mut)
 
-            rd_x2, rd_s2, rp2, _, _ = residuals(A, z_new, y_new, zl_new, zu_new)
-            err2, mu2 = kkt_error(z_new, y_new, zl_new, zu_new, rd_x2, rd_s2, rp2)
+            # (a filter line search for hard nonconvex NLPs — the
+            # luedtke-1 class — is future work; naive residual
+            # backtracking measurably hurt the well-behaved instances)
+            z_new, y_new, zl_new, zu_new, err2, mu2 = trial(1.0)
 
             # NaN guard: if the step blew up, keep the previous iterate and
             # stop (err -> 0 exits the loop; status decided from residuals).

@@ -66,7 +66,7 @@ def _create_default_options(db: OptionDB) -> None:
     ins("lp_engine", str, "LP engine (ipm)", "ipm")
     ins("qp_engine", str, "QP engine (ipm/none)", "ipm")
     ins("nlp_engine", str, "NLP engine (ipm)", "ipm")
-    ins("ipm_max_iters", int, "max IPM iterations per solve", 60)
+    ins("ipm_max_iters", int, "max IPM iterations per solve", 90)
     ins("ipm_tol", float, "IPM convergence tolerance", 1e-8)
     ins("eval_within_bnds", bool, "clip x into variable bounds before evaluating "
         "nonlinear functions (guards sqrt/log domains)", True)
