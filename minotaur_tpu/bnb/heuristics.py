@@ -106,3 +106,44 @@ class FeasibilityPump:
             prev = xr
             xr = new_xr
         return found
+
+
+def find_partition_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
+                        int_mask: np.ndarray):
+    """Rows of the form sum(binary vars) == k (set partition / cardinality)
+    — the structure that naive rounding always breaks.  Returns a list of
+    (var_indices, k)."""
+    rows = []
+    m, n = A.shape
+    for r in range(m):
+        if not (np.isfinite(clb[r]) and abs(clb[r] - cub[r]) <= 1e-12):
+            continue
+        k = clb[r]
+        if abs(k - round(k)) > 1e-9 or k < 0:
+            continue
+        nz = np.nonzero(A[r])[0]
+        if len(nz) < 2:
+            continue
+        if not np.all(np.abs(A[r, nz] - 1.0) <= 1e-12):
+            continue
+        if not np.all(int_mask[nz]):
+            continue
+        rows.append((nz, int(round(k))))
+    return rows
+
+
+def partition_round(x: np.ndarray, partition_rows, int_mask: np.ndarray,
+                    rng=None, noise: float = 0.0) -> np.ndarray:
+    """Round integers, then repair every partition row by selecting its
+    top-k fractional variables (reference analogue: the repair step of
+    diving heuristics).  Optional noise diversifies repeated calls."""
+    xr = x.copy()
+    xr[int_mask] = np.round(xr[int_mask])
+    for nz, k in partition_rows:
+        score = x[nz]
+        if noise and rng is not None:
+            score = score + rng.uniform(0, noise, size=len(nz))
+        top = np.argsort(-score)[:k]
+        xr[nz] = 0.0
+        xr[nz[top]] = 1.0
+    return xr

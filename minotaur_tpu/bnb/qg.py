@@ -111,6 +111,10 @@ class QGBranchAndBound(BranchAndBound):
         self._heur_cut_lanes = 4    # how many heur solutions also add cuts
         self._fp: Optional[object] = None
         self._fp_period = 12        # supersteps between pump attempts
+        from .heuristics import find_partition_rows
+        self._part_rows = find_partition_rows(sp.A, sp.clb, sp.cub,
+                                              sp.int_mask)
+        self._rng = np.random.default_rng(int(env.options.get("rand_seed")))
         if env.options.get("fpump") or True:  # pump on by default for QG
             from .heuristics import FeasibilityPump
             self._fp = FeasibilityPump(
@@ -287,6 +291,76 @@ class QGBranchAndBound(BranchAndBound):
         if pts:
             self._try_fixint_incumbents(np.stack(pts))
 
+    def _run_dive(self, x_start: np.ndarray, lanes: int = 16,
+                  rounds: int = 22) -> None:
+        """Vectorized fractional diving (reference: MINLPDiving.cpp —
+        fractional scheme with backtrack-free lanes).  Each round fixes
+        the least-fractional unfixed integers per lane and re-solves the
+        master LP; the fused step's FBBT propagates the fixings through
+        linking equality rows, repairing dependent integers for free.
+        Lanes differ by tie-breaking noise."""
+        n_m = self.sp.n
+        ints = np.where(self.sp.int_mask)[0]
+        if len(ints) == 0:
+            return
+        vlb = np.tile(self.sp.vlb, (lanes, 1))
+        vub = np.tile(self.sp.vub, (lanes, 1))
+        x = np.tile(x_start, (lanes, 1))
+        alive = np.ones(lanes, dtype=bool)
+        # one-level backtrack state (reference MINLPDiving backtrack): the
+        # pre-fix box and the picks of the last fix per lane
+        bt: List = [None] * lanes
+        for r in range(rounds):
+            res = self._run_step(vlb, vub, x)
+            status = np.asarray(res.status)
+            db = np.asarray(res.dual_bound)
+            x = np.asarray(res.x)
+            nvlb = np.asarray(res.new_vlb).copy()
+            nvub = np.asarray(res.new_vub).copy()
+            died = alive & ((status == EngineStatus.SOLVED_INFEASIBLE) |
+                            (db >= 1e15))
+            for b in np.where(died)[0]:
+                if bt[b] is not None:
+                    # restore the pre-fix box and push the last-fixed vars
+                    # the OTHER way
+                    old_lo, old_hi, pick, v = bt[b]
+                    nvlb[b] = old_lo
+                    nvub[b] = old_hi
+                    lpv = x[b, pick]
+                    alt = np.where(v <= lpv, v + 1.0, v - 1.0)
+                    alt = np.clip(alt, old_lo[pick], old_hi[pick])
+                    nvlb[b, pick] = alt
+                    nvub[b, pick] = alt
+                    bt[b] = None
+                    died[b] = False
+            alive &= ~died
+            vlb, vub = nvlb, nvub
+            if not alive.any():
+                return
+            unfixed = (vub[:, ints] - vlb[:, ints]) > 0.5
+            n_unfixed = unfixed.sum(axis=1)
+            if not (alive & (n_unfixed > 0)).any():
+                break
+            for b in np.where(alive)[0]:
+                nu = int(n_unfixed[b])
+                if nu == 0 or not np.isfinite(x[b]).all():
+                    continue
+                k = max(1, nu // max(3, rounds - 1 - r))
+                frac = np.abs(x[b, ints] - np.round(x[b, ints]))
+                frac = frac + self._rng.uniform(0, 0.05, size=len(ints)) \
+                    * (b > 0)
+                frac[~unfixed[b]] = np.inf
+                pick = ints[np.argsort(frac)[:k]]
+                v = np.clip(np.round(x[b, pick]), vlb[b, pick], vub[b, pick])
+                bt[b] = (vlb[b].copy(), vub[b].copy(), pick, v)
+                vlb[b, pick] = v
+                vub[b, pick] = v
+            self.stats.solves += lanes
+        # harvest: lanes with all ints fixed and alive
+        done = alive & ((vub[:, ints] - vlb[:, ints]) <= 0.5).all(axis=1)
+        if done.any():
+            self._try_fixint_incumbents(x[done])
+
     def _handle_batch(self, batch: List[Node], res, next_id: int,
                       seen: Optional[set] = None) -> int:
         status = np.asarray(res.status)
@@ -324,14 +398,17 @@ class QGBranchAndBound(BranchAndBound):
             elif len(heur_lanes) < self._heur_lanes_cap:
                 heur_lanes.append(i)
 
-        # periodic feasibility pump while no incumbent exists
-        if self.ub >= _INF and self._fp is not None and \
-                self.stats.batches % self._fp_period == 1 and len(batch):
+        # periodic primal heuristics while no incumbent exists: diving
+        # first (FBBT-guided), pump as fallback
+        if self.ub >= _INF and self.stats.batches % self._fp_period == 1 \
+                and len(batch):
             best_lane = int(np.argmin(np.where(
                 status[:len(batch)] == EngineStatus.SOLVED_OPTIMAL,
                 obj[:len(batch)], _INF)))
             if status[best_lane] == EngineStatus.SOLVED_OPTIMAL:
-                self._run_pump(xs[best_lane])
+                self._run_dive(xs[best_lane])
+                if self.ub >= _INF and self._fp is not None:
+                    self._run_pump(xs[best_lane])
 
         nlp_res = None
         if sep_lanes or heur_lanes:
@@ -343,8 +420,19 @@ class QGBranchAndBound(BranchAndBound):
             idxs = all_lanes + [all_lanes[0]] * (bucket - B2)
             vlb2 = np.stack([nvlb[i][:n] for i in idxs])
             vub2 = np.stack([nvub[i][:n] for i in idxs])
-            xr2 = np.stack([np.round(xs[i][:n]) for i in idxs])
-            # fix integer variables to the LP's (rounded) values
+            # heuristic lanes use partition-aware rounding with noise for
+            # diversity (naive rounding always breaks set-partition rows)
+            n_sep = len(sep_lanes)
+            xr_list = []
+            for j, i in enumerate(idxs):
+                if j < n_sep or not self._part_rows:
+                    xr_list.append(np.round(xs[i][:n]))
+                else:
+                    from .heuristics import partition_round
+                    xr_list.append(partition_round(
+                        xs[i][:n], self._part_rows, sp.int_mask,
+                        rng=self._rng, noise=0.0 if j == n_sep else 0.3))
+            xr2 = np.stack(xr_list)
             ints = sp.int_mask
             fixv = np.clip(xr2[:, ints], vlb2[:, ints], vub2[:, ints])
             vlb2[:, ints] = fixv
