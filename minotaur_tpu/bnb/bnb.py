@@ -165,6 +165,7 @@ class BranchAndBound:
         if not resumed and self._root_presolve() is not None:
             return self.status
         n = self.sp.n
+        self._strong_branch_done = False
         if not resumed:
             root = Node(nid=0, depth=0, lb=-_INF,
                         vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),
@@ -370,6 +371,10 @@ class BranchAndBound:
             node.status = NodeStatus.DOMINATED
             return next_id
 
+        # root strong branching initializes pseudocosts (one batched call)
+        if not getattr(self, "_strong_branch_done", True) and \
+                status == EngineStatus.SOLVED_OPTIMAL:
+            self._strong_branch_init(x, nvlb, nvub, float(bound_for_prune))
         # branching variable selection: pseudocost product rule when the
         # brancher is 'rel' and costs are observed; otherwise the device's
         # most-fractional candidate (reference MaxVioBrancher)
@@ -419,6 +424,64 @@ class BranchAndBound:
                 return [vs[i] for i in range(mid + 1, len(vs))], \
                        [vs[i] for i in range(0, mid)]
         return None
+
+    def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
+                            nvub: np.ndarray, obj: float) -> None:
+        """Initialize pseudocosts by strong branching at the root: probe
+        the top-K fractional candidates with down/up bound-fixed solves in
+        ONE batched engine call (reference: ReliabilityBrancher::
+        strongBranch_ solves them one at a time with an iteration-limited
+        warm engine, ReliabilityBrancher.cpp:469)."""
+        if getattr(self, "_strong_branch_done", True):
+            return
+        self._strong_branch_done = True
+        if self._brancher not in ("rel", "strong"):
+            return
+        ints = self.sp.int_mask
+        frac = np.where(ints, np.abs(x - np.round(x)), 0.0)
+        frac = np.where(nvub - nvlb > 1e-9, frac, 0.0)
+        cand = np.argsort(-frac)
+        cand = [int(j) for j in cand if frac[j] > self._int_tol]
+        K = min(int(self.env.options.get("rel_cands")), len(cand))
+        if K == 0:
+            return
+        cand = cand[:K]
+        boxes_lo, boxes_hi = [], []
+        for j in cand:
+            lo = math.floor(x[j])
+            down_hi = nvub.copy()
+            down_hi[j] = lo
+            up_lo = nvlb.copy()
+            up_lo[j] = lo + 1
+            boxes_lo.extend([nvlb.copy(), up_lo])
+            boxes_hi.extend([down_hi, nvub.copy()])
+        B = len(boxes_lo)
+        bucket = 1
+        while bucket < B:
+            bucket *= 4
+        while len(boxes_lo) < bucket:
+            boxes_lo.append(boxes_lo[0])
+            boxes_hi.append(boxes_hi[0])
+        res = self._run_step(np.stack(boxes_lo), np.stack(boxes_hi),
+                             np.tile(x, (bucket, 1)))
+        self.stats.solves += B
+        dbs = np.asarray(res.dual_bound)[:B]
+        sts = np.asarray(res.status)[:B]
+        for idx, j in enumerate(cand):
+            f = x[j] - math.floor(x[j])
+            for side, frac_side in ((0, f), (1, 1.0 - f)):
+                db = dbs[2 * idx + side]
+                if sts[2 * idx + side] == EngineStatus.SOLVED_INFEASIBLE \
+                        or db >= 1e15:
+                    gain = 1e3  # infeasible child: very attractive branch
+                else:
+                    gain = max(0.0, db - obj) / max(frac_side, 1e-6)
+                if side == 0:
+                    self._pc_down[j] = gain
+                    self._pc_down_cnt[j] = 1
+                else:
+                    self._pc_up[j] = gain
+                    self._pc_up_cnt[j] = 1
 
     def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
                            bvar: int, bval: float):
