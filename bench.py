@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_NODES_PER_SEC = 100.0
 INSTANCE = "/root/reference/test_instances/color_lab2_4x0.nl"
-NODE_LIMIT = 512
+NODE_LIMIT = 768
 NODE_BATCH = 64
 TIME_LIMIT = 420.0
 
@@ -57,25 +57,24 @@ def main():
     p = read_nl(INSTANCE)
     env = Environment()
     env.set_option("node_batch", NODE_BATCH)
+    env.set_option("pad_full", 1)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
     env.set_option("log_level", 1)
 
     bab = BranchAndBound(p, env)
 
-    # warm the compile caches for every batch bucket so the measured
-    # window is execution, not compilation
+    # warm the single full-size bucket (pad_full) so the measured window
+    # is execution, not compilation
     import numpy as np
     sp = bab.sp
-    b = 1
-    while b <= NODE_BATCH:
-        t0 = time.monotonic()
-        bab._step(sp.A, sp.clb, sp.cub,
-                  np.tile(sp.vlb, (b, 1)), np.tile(sp.vub, (b, 1)),
-                  np.zeros((b, sp.n)))
-        log(f"bench: warmup bucket {b} compiled+ran in "
-            f"{time.monotonic() - t0:.1f}s")
-        b *= 4
+    t0 = time.monotonic()
+    bab._step(sp.A, sp.clb, sp.cub,
+              np.tile(sp.vlb, (NODE_BATCH, 1)),
+              np.tile(sp.vub, (NODE_BATCH, 1)),
+              np.zeros((NODE_BATCH, sp.n)))
+    log(f"bench: warmup bucket {NODE_BATCH} compiled+ran in "
+        f"{time.monotonic() - t0:.1f}s")
 
     t0 = time.monotonic()
     bab.solve()

@@ -71,6 +71,7 @@ class BranchAndBound:
         self._sol_limit = int(opts.get("bnb_sol_limit"))
         self._log_interval = float(opts.get("bnb_log_interval"))
         self._batch = max(1, int(opts.get("node_batch")))
+        self._pad_full = bool(opts.get("pad_full"))
         step_opts = StepOptions(
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
@@ -187,11 +188,17 @@ class BranchAndBound:
                 break
             B = len(batch)
             # pad to a bucket size to bound recompiles; geometric ladder
-            # 1, 4, 16, 64, ... keeps compiles to log4(batch) total
-            bucket = 1
-            while bucket < B:
-                bucket *= 4
-            bucket = min(bucket, self._batch)
+            # 1, 4, 16, 64, ... keeps compiles to log4(batch) total, or a
+            # single full-size bucket when pad_full is set (TPU supersteps
+            # are latency-bound, so padding is nearly free and one compile
+            # beats the ladder)
+            if getattr(self, "_pad_full", False):
+                bucket = self._batch
+            else:
+                bucket = 1
+                while bucket < B:
+                    bucket *= 4
+                bucket = min(bucket, self._batch)
             while B < bucket:
                 batch.append(batch[0])
                 B += 1

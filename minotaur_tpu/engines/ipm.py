@@ -61,6 +61,7 @@ class IPMOptions:
     factor_f32: bool = True
     refine_steps: int = 3
     kkt_rounds: int = 2         # KKT-level defect-correction rounds (f32)
+    use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
 
 
 class IPMResult(NamedTuple):
@@ -145,7 +146,22 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
             return M @ x + shift_vec[:, None] * x
         return M @ x + shift_vec * x
 
-    def solve(r):
+    if use_f32 and opts.use_pallas:
+        # all-f32 fused path (phase-1 only targets 1e-4): one Pallas
+        # kernel per solve instead of ~12 separate ops per refinement
+        from ..ops.pallas_kernels import refined_spd_solve_f32
+
+        _interp = jax.default_backend() == "cpu"
+
+        def solve_pallas(r):
+            if r.ndim == 2:
+                # matrix rhs stays on the XLA path
+                return solve_xla(r)
+            x = refined_spd_solve_f32(Minv_s, M, dinv, shift_vec, r,
+                                      refine_steps=2, interpret=_interp)
+            return x.astype(M.dtype)
+
+    def solve_xla(r):
         # Refinement needed in BOTH dtypes now that solves go through an
         # explicit inverse (error ~ kappa*eps instead of backward-stable),
         # and MONOTONE: on indefinite-but-factorizable matrices (nonconvex
@@ -164,6 +180,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
             nrm = jnp.minimum(nrm2, nrm)
         return x
 
+    solve = solve_pallas if (use_f32 and opts.use_pallas) else solve_xla
     return solve, (bad & bad2)
 
 

@@ -79,6 +79,9 @@ def _create_default_options(db: OptionDB) -> None:
     ins("msheur", bool, "multistart heuristic", False)
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
+    ins("pad_full", bool, "always pad batches to node_batch (one compiled "
+        "bucket; padding is nearly free on latency-bound TPU supersteps)",
+        False)
     ins("dtype", str, "compute dtype: f64/f32", "f64")
     ins("mesh_hosts", int, "hosts in the device mesh (node-pool partitions)", 1)
     ins("lb_frequency", int, "supersteps between cross-host load balances "
