@@ -1,0 +1,169 @@
+"""Multi-tree Outer Approximation.
+
+Reference: OAHandler.{h,cpp} + OA.cpp (the `moa` solver, not built by the
+reference's CMake but shipped): alternate a MILP master (linearizations of
+the nonlinear parts) with fixed-integer NLP subproblems until the master
+bound meets the incumbent.
+
+Here the MILP master is our own batched LP-based B&B over the shared
+QG-style master problem (same preallocated cut pool), and the fixed-int
+NLP is the batched IPM — so one OA iteration is: solve master MILP to
+optimality, fix its integer solution, solve the NLP, add linearization
+cuts at the NLP solution, repeat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..ir.problem import Problem
+from ..utils.environment import Environment
+from ..utils.types import EngineStatus, SolveStatus
+from .bnb import BranchAndBound
+from .qg import QGBranchAndBound
+
+_INF = float("inf")
+
+
+@dataclasses.dataclass
+class OAStats:
+    major_iters: int = 0
+    milp_nodes: int = 0
+    nlp_solves: int = 0
+    cuts_added: int = 0
+
+
+class OABranchAndBound(QGBranchAndBound):
+    """Multi-tree OA driver reusing the QG master/cut machinery.
+
+    Each major iteration re-runs the master MILP B&B from scratch against
+    the enriched cut pool (multi-tree), with the incumbent as cutoff."""
+
+    def __init__(self, problem: Problem, env: Optional[Environment] = None):
+        super().__init__(problem, env=env)
+        self.oa_stats = OAStats()
+        self._max_major = 50
+
+    def solve(self) -> SolveStatus:
+        st = self._qg_root()
+        if st is not None:
+            return st
+        sp = self.sp_orig
+        n = sp.n
+        import time
+        t0 = time.monotonic()
+
+        for it in range(self._max_major):
+            self.oa_stats.major_iters = it + 1
+            # --- master MILP over the current cut pool -------------------
+            master_bab = _MasterMILP(self)
+            mstatus = master_bab.solve()
+            self.oa_stats.milp_nodes += master_bab.stats.nodes_processed
+            self.lb = max(self.lb, master_bab.lb) if master_bab.lb > -_INF \
+                else self.lb
+            if mstatus == SolveStatus.SOLVED_INFEASIBLE or \
+                    master_bab.best_x is None:
+                # master infeasible under the cutoff: incumbent is optimal
+                self.status = SolveStatus.SOLVED_OPTIMAL \
+                    if self.ub < _INF else SolveStatus.SOLVED_INFEASIBLE
+                if self.ub < _INF:
+                    self.lb = self.ub
+                break
+            ref = max(abs(self.ub), 1.0)
+            if self.ub < _INF and \
+                    master_bab.ub >= self.ub - self._abs_tol - \
+                    self._rel_tol * ref:
+                self.lb = max(self.lb, min(master_bab.ub, self.ub))
+                self.status = SolveStatus.SOLVED_OPTIMAL
+                break
+
+            # --- fixed-integer NLP at the master solution ----------------
+            xm = master_bab.best_x
+            vlb2 = sp.vlb[None, :].copy()
+            vub2 = sp.vub[None, :].copy()
+            ints = sp.int_mask
+            fix = np.clip(np.round(xm[:n][ints]), sp.vlb[ints], sp.vub[ints])
+            vlb2[0, ints] = fix
+            vub2[0, ints] = fix
+            res = self._nlp_solve(sp.A, sp.clb, sp.cub, vlb2, vub2,
+                                  xm[None, :n])
+            self.oa_stats.nlp_solves += 1
+            self.qg_stats.nlp_solves += 1
+            x_nlp = np.asarray(res.x[0])
+            before = self.qg_stats.cuts_added
+            self._cuts_at(x_nlp[None, :])
+            self.oa_stats.cuts_added += self.qg_stats.cuts_added - before
+            if int(res.status[0]) in (EngineStatus.SOLVED_OPTIMAL,
+                                      EngineStatus.ITERATION_LIMIT) and \
+                    np.all(np.isfinite(x_nlp)) and \
+                    self.problem.is_feasible(x_nlp, atol=1e-5,
+                                             int_tol=self._int_tol):
+                val = float(self.problem.eval_objective(x_nlp))
+                if val < self.ub - 1e-12:
+                    self.ub = val
+                    self.best_x = x_nlp.copy()
+                    self.stats.sols_found += 1
+            if self.qg_stats.cuts_added == before:
+                # no new cuts and not converged: avoid cycling
+                self.unresolved_lb = min(self.unresolved_lb,
+                                         master_bab.lb)
+                self.status = SolveStatus.SOLVED_GAP_LIMIT
+                break
+            if time.monotonic() - t0 > self._time_limit:
+                self.status = SolveStatus.SOLVED_TIME_LIMIT
+                break
+        else:
+            self.status = SolveStatus.SOLVED_ITERATION_LIMIT
+        self.stats.time = time.monotonic() - t0
+        return self.status
+
+
+class _MasterMILP(BranchAndBound):
+    """One master MILP solve over the OA cut pool (no separation)."""
+
+    def __init__(self, oa: OABranchAndBound):
+        super().__init__(oa.problem, env=oa.env, staged=oa.sp)
+        self._oa = oa
+        self._step = oa._step                 # reuse compiled superstep
+        self.ub = oa.ub                       # incumbent as cutoff only
+        self.best_x = None
+
+    def _run_step(self, vlb_b, vub_b, x0_b):
+        return self._step(self._oa.mA, self._oa.mclb, self._oa.mcub,
+                          vlb_b, vub_b, x0_b)
+
+    def _root_presolve(self):
+        return None   # master bounds already tightened by the OA driver
+
+    def _process_result(self, node, status, obj, db, x, int_feas, bvar,
+                        bval, nvlb, nvub, next_id):
+        # master accepts integral LP solutions directly (the MILP has no
+        # nonlinear rows; feasibility w.r.t. the true problem is the OA
+        # driver's job)
+        from ..utils.types import NodeStatus
+        bound = max(node.lb, db if db > -_INF else node.lb)
+        if status == EngineStatus.SOLVED_INFEASIBLE or bound >= 1e15:
+            node.status = NodeStatus.PRUNED_INFEASIBLE
+            return next_id
+        if bound >= self._cutoff():
+            node.status = NodeStatus.PRUNED_BY_BOUND
+            return next_id
+        if int_feas and status in (EngineStatus.SOLVED_OPTIMAL,
+                                   EngineStatus.ITERATION_LIMIT):
+            val = float(obj)
+            if val < self.ub - 1e-12:
+                self.ub = val
+                self.best_x = np.asarray(x).copy()
+                self.tm.set_cutoff(self._cutoff())
+                self.tm.prune_by_cutoff()
+            node.status = NodeStatus.PRUNED_OPTIMAL
+            return next_id
+        if bvar < 0:
+            self.unresolved_lb = min(self.unresolved_lb, bound)
+            node.status = NodeStatus.DOMINATED
+            return next_id
+        return super()._process_result(node, status, obj, db, x, False,
+                                       bvar, bval, nvlb, nvub, next_id)
