@@ -47,6 +47,7 @@ class QGStats:
     nlp_infeasible: int = 0
     cuts_added: int = 0
     cuts_duplicate: int = 0
+    cuts_evicted: int = 0
     requeues: int = 0
 
 
@@ -100,6 +101,8 @@ class QGBranchAndBound(BranchAndBound):
         self.n_cuts = 0
         self._cut_base = sp.m
         self._cut_keys = set()
+        self._cut_slot_key = [None] * self.max_cuts
+        self._cut_last_active = np.zeros(self.max_cuts, dtype=np.int64)
         self.qg_stats = QGStats()
         # NLP oracle on the original space
         ipm = IPMOptions(max_iters=int(env.options.get("ipm_max_iters")),
@@ -144,22 +147,48 @@ class QGBranchAndBound(BranchAndBound):
         return jax.jit(jax.vmap(one))
 
     def _add_cut(self, coefs: np.ndarray, lb: float, ub: float) -> bool:
-        """Append one cut row; returns False if pool full/duplicate."""
+        """Append one cut row; when the pool is full, evict the least
+        recently active cut (reference: CutMan2 activity aging)."""
         key = (tuple(np.round(coefs / max(1.0, np.abs(coefs).max()), 9)),
                round(lb, 9), round(ub, 9))
         if key in self._cut_keys:
             self.qg_stats.cuts_duplicate += 1
             return False
         if self.n_cuts >= self.max_cuts:
-            return False
-        r = self._cut_base + self.n_cuts
+            slot = int(np.argmin(self._cut_last_active[:self.n_cuts]))
+            if self._cut_last_active[slot] >= self.stats.batches - 2:
+                return False  # everything recently active: drop new cut
+            r = self._cut_base + slot
+            old_key = self._cut_slot_key[slot]
+            if old_key in self._cut_keys:
+                self._cut_keys.discard(old_key)
+            self.qg_stats.cuts_evicted += 1
+        else:
+            slot = self.n_cuts
+            r = self._cut_base + slot
+            self.n_cuts += 1
         self.mA[r, :] = coefs
         self.mclb[r] = lb
         self.mcub[r] = ub
-        self.n_cuts += 1
         self._cut_keys.add(key)
+        self._cut_slot_key[slot] = key
+        self._cut_last_active[slot] = self.stats.batches
         self.qg_stats.cuts_added += 1
         return True
+
+    def _update_cut_activity(self, xs: np.ndarray) -> None:
+        """Mark cuts tight at any of the batch's LP solutions as active
+        (host-side; reference CutMan2::updatePool)."""
+        if self.n_cuts == 0 or not len(xs):
+            return
+        rows = slice(self._cut_base, self._cut_base + self.n_cuts)
+        vals = xs @ self.mA[rows].T            # (B, n_cuts)
+        ub = self.mcub[rows][None, :]
+        lb = self.mclb[rows][None, :]
+        scale = 1.0 + np.abs(np.where(np.isfinite(ub), ub, 0.0))
+        tight = (vals >= ub - 1e-6 * scale) | (vals <= lb + 1e-6 * scale)
+        active = tight.any(axis=0)
+        self._cut_last_active[:self.n_cuts][active] = self.stats.batches
 
     def _cuts_at(self, xhat_batch: np.ndarray) -> int:
         """Add linearization cuts at a batch of x-space points
@@ -374,6 +403,7 @@ class QGBranchAndBound(BranchAndBound):
         nvub = np.asarray(res.new_vub)
         sp = self.sp_orig
         n = sp.n
+        self._update_cut_activity(xs)
 
         # --- separation: integral LP lanes -> batched fix-int NLPs ------
         # Rounding-dive lanes ride the same batched NLP call: fractional

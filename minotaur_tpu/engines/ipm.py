@@ -167,17 +167,24 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
         # and MONOTONE: on indefinite-but-factorizable matrices (nonconvex
         # Lagrangians whose Cholesky happens to succeed) naive refinement
         # diverges — keep a correction only if the residual norm drops.
+        # fori_loop (not unrolled): the loop body is large and appears at
+        # every solve site — unrolling made device programs take >30 min
+        # to compile through the remote-compile tunnel.
         x = base_solve(r)
         res = r - apply_eff(x)           # f64 matmul: near-native on TPU
         nrm = jnp.sum(res * res)
-        for _ in range(opts.refine_steps + (1 if use_f32 else 0)):
+
+        def refine_body(_, carry):
+            x, res, nrm = carry
             x2 = x + base_solve(res)
             res2 = r - apply_eff(x2)
             nrm2 = jnp.sum(res2 * res2)
             better = nrm2 < nrm
-            x = jnp.where(better, x2, x)
-            res = jnp.where(better, res2, res)
-            nrm = jnp.minimum(nrm2, nrm)
+            return (jnp.where(better, x2, x), jnp.where(better, res2, res),
+                    jnp.minimum(nrm2, nrm))
+
+        steps = opts.refine_steps + (1 if use_f32 else 0)
+        x, _, _ = jax.lax.fori_loop(0, steps, refine_body, (x, res, nrm))
         return x
 
     solve = solve_pallas if (use_f32 and opts.use_pallas) else solve_xla
@@ -434,7 +441,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     f64 and the correction re-solved jointly."""
                     dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
                     if use_f32:
-                        for _ in range(opts.kkt_rounds):
+                        def corr_body(_, carry):
+                            dx, ds, dy = carry
                             if is_lp:
                                 wdx = Dx_diag * dx
                             else:
@@ -446,9 +454,10 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             if m_eq:
                                 e2 = e2.at[eq_rows].set(0.0)
                             cx, cs, cy = raw_xyz(e1, e2, e3)
-                            dx = dx + cx
-                            ds = ds + cs
-                            dy = dy + cy
+                            return dx + cx, ds + cs, dy + cy
+
+                        dx, ds, dy = jax.lax.fori_loop(
+                            0, opts.kkt_rounds, corr_body, (dx, ds, dy))
                     return dx, ds, dy
             else:
                 # m-space (classic normal equations) — better for LP with
