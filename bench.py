@@ -58,6 +58,9 @@ def main():
     env = Environment()
     env.set_option("node_batch", NODE_BATCH)
     env.set_option("pad_full", 1)
+    # color_lab QPs converge in ~8-16 IPM iterations; a tight budget keeps
+    # unconverged lanes from dragging every superstep to the cap
+    env.set_option("ipm_max_iters", 36)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
     env.set_option("log_level", 1)
@@ -77,7 +80,10 @@ def main():
         f"{time.monotonic() - t0:.1f}s")
 
     t0 = time.monotonic()
-    bab.solve()
+    try:
+        bab.solve()
+    except Exception as e:  # TPU worker crashes mid-run: report partial
+        log(f"bench: solve aborted: {type(e).__name__}: {e}")
     dt = time.monotonic() - t0
     nodes = max(1, bab.stats.nodes_processed)
     nps = nodes / dt

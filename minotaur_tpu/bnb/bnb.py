@@ -270,8 +270,10 @@ class BranchAndBound:
         int_feas = np.asarray(res.int_feasible)
         bvar = np.asarray(res.branch_var)
         bval = np.asarray(res.branch_val)
-        nvlb = np.asarray(res.new_vlb)
-        nvub = np.asarray(res.new_vub)
+        nvlb = np.asarray(res.new_vlb).copy()
+        nvub = np.asarray(res.new_vub).copy()
+        if self._is_lp_relax and self.ub < _INF and hasattr(res, "y"):
+            self._rc_fix(xs, np.asarray(res.y), db, status, nvlb, nvub)
         if seen is None:
             seen = set()
         for i, node in enumerate(batch):
@@ -282,6 +284,40 @@ class BranchAndBound:
                 node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
                 int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
         return next_id
+
+    def _master_arrays(self):
+        """(A, clb, cub) actually used by the step (QG overrides with the
+        cut-extended master)."""
+        return self.sp.A, self.sp.clb, self.sp.cub
+
+    def _rc_fix(self, xs, ys, db, status, nvlb, nvub) -> None:
+        """Reduced-cost bound tightening (reference: RCHandler.cpp,
+        `rc_fix`): with incumbent cutoff and certified node bound db, a
+        variable at its bound with reduced cost r can move at most
+        gap/|r| in any still-improving solution.  Vectorized over the
+        whole batch on the host."""
+        A, _, _ = self._master_arrays()
+        c = self.sp.c
+        cutoff = self._cutoff()
+        B = xs.shape[0]
+        r = c[None, :] + ys @ A            # (B, n); stationarity: r=zl-zu
+        gap = cutoff - db                  # (B,)
+        ok = (status == EngineStatus.SOLVED_OPTIMAL) & np.isfinite(gap) & \
+            (gap >= 0)
+        at_lo = np.abs(xs - nvlb) <= 1e-7 * (1 + np.abs(nvlb))
+        at_hi = np.abs(nvub - xs) <= 1e-7 * (1 + np.abs(nvub))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            max_up = np.where((r > 1e-9) & at_lo & ok[:, None],
+                              nvlb + gap[:, None] / r, np.inf)
+            max_dn = np.where((r < -1e-9) & at_hi & ok[:, None],
+                              nvub + gap[:, None] / r, -np.inf)
+        ints = self.sp.int_mask
+        max_up = np.where(ints[None, :], np.floor(max_up + self._int_tol),
+                          max_up)
+        max_dn = np.where(ints[None, :], np.ceil(max_dn - self._int_tol),
+                          max_dn)
+        np.minimum(nvub, max_up, out=nvub)
+        np.maximum(nvlb, max_dn, out=nvlb)
 
     # ---------------------------------------------------------- per node
     def _process_result(self, node: Node, status: int, obj: float, db: float,
@@ -378,6 +414,12 @@ class BranchAndBound:
             node.status = NodeStatus.DOMINATED
             return next_id
 
+        # root rounding heuristic (reference divheur-lite): plain and
+        # partition-repaired roundings of the root relaxation solution
+        if node.nid == 0 and self.ub >= _INF and \
+                status == EngineStatus.SOLVED_OPTIMAL and \
+                self.sp.int_mask.any():
+            self._root_rounding(x, nvlb, nvub)
         # root strong branching initializes pseudocosts (one batched call)
         if not getattr(self, "_strong_branch_done", True) and \
                 status == EngineStatus.SOLVED_OPTIMAL:
@@ -431,6 +473,33 @@ class BranchAndBound:
                 return [vs[i] for i in range(mid + 1, len(vs))], \
                        [vs[i] for i in range(0, mid)]
         return None
+
+    def _root_rounding(self, x: np.ndarray, nvlb, nvub) -> None:
+        """Cheap root incumbents from (partition-repaired) roundings —
+        no extra solves, just host evaluation."""
+        from .heuristics import find_partition_rows, partition_round
+        cands = []
+        xr = np.clip(x, nvlb, nvub)
+        xr[self.sp.int_mask] = np.round(xr[self.sp.int_mask])
+        cands.append(xr)
+        parts = find_partition_rows(self.sp.A, self.sp.clb, self.sp.cub,
+                                    self.sp.int_mask)
+        if parts:
+            rng = np.random.default_rng(0)
+            for noise in (0.0, 0.2, 0.4):
+                cands.append(partition_round(x, parts, self.sp.int_mask,
+                                             rng=rng, noise=noise))
+        for cand in cands:
+            if self.problem.is_feasible(cand, atol=1e-5,
+                                        int_tol=self._int_tol):
+                val = float(self.problem.eval_objective(cand))
+                if val < self.ub - 1e-12:
+                    self.ub = val
+                    self.best_x = cand.copy()
+                    self.stats.sols_found += 1
+        if self.ub < _INF:
+            self.tm.set_cutoff(self._cutoff())
+            self.tm.prune_by_cutoff()
 
     def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
                             nvub: np.ndarray, obj: float) -> None:

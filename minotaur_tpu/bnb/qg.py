@@ -114,9 +114,13 @@ class QGBranchAndBound(BranchAndBound):
         self._heur_cut_lanes = 4    # how many heur solutions also add cuts
         self._fp: Optional[object] = None
         self._fp_period = 12        # supersteps between pump attempts
+        self._ecp_period = 2        # ECP fractional-cut cadence (0 = off)
         from .heuristics import find_partition_rows
         self._part_rows = find_partition_rows(sp.A, sp.clb, sp.cub,
                                               sp.int_mask)
+        from .cuts import find_knapsack_rows
+        self._knap_rows = find_knapsack_rows(sp.A, sp.clb, sp.cub,
+                                             sp.int_mask, sp.vlb, sp.vub)
         self._rng = np.random.default_rng(int(env.options.get("rand_seed")))
         if env.options.get("fpump") or True:  # pump on by default for QG
             from .heuristics import FeasibilityPump
@@ -267,6 +271,9 @@ class QGBranchAndBound(BranchAndBound):
                     self.stats.sols_found += 1
         return None
 
+    def _master_arrays(self):
+        return self.mA, self.mclb, self.mcub
+
     def _run_step(self, vlb_b, vub_b, x0_b):
         # device copies of the master arrays, refreshed only when the cut
         # pool changed (cheap bookkeeping beats re-uploading every step)
@@ -404,6 +411,30 @@ class QGBranchAndBound(BranchAndBound):
         sp = self.sp_orig
         n = sp.n
         self._update_cut_activity(xs)
+        # ECP-style linearization at fractional LP points (reference:
+        # QGHandlerAdvance cutMethod_="ecp", QGHandlerAdvance.cpp:75):
+        # gradient cuts are valid anywhere for convex bodies and lift the
+        # eta bound without waiting for integral solutions
+        if self._ecp_period and self.stats.batches % self._ecp_period == 0:
+            ecp_pts = [xs[i][:n] for i in range(min(len(batch), 4))
+                       if status[i] == EngineStatus.SOLVED_OPTIMAL
+                       and not int_feas[i]
+                       and np.all(np.isfinite(xs[i][:n]))]
+            if ecp_pts:
+                self._cuts_at(np.stack(ecp_pts))
+
+        # knapsack cover cuts from a few fractional LP points (reference:
+        # KnapCovHandler separation)
+        if self._knap_rows:
+            from .cuts import separate_cover_cuts
+            for i in range(min(len(batch), 4)):
+                if status[i] != EngineStatus.SOLVED_OPTIMAL or int_feas[i]:
+                    continue
+                for vars_, rhs in separate_cover_cuts(self._knap_rows,
+                                                      xs[i][:n]):
+                    coefs = np.zeros(self.sp.n)
+                    coefs[vars_] = 1.0
+                    self._add_cut(coefs, -_INF, rhs)
 
         # --- separation: integral LP lanes -> batched fix-int NLPs ------
         # Rounding-dive lanes ride the same batched NLP call: fractional

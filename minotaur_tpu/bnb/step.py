@@ -34,6 +34,7 @@ class StepResult(NamedTuple):
     new_vub: "jnp.ndarray"      # (B, n)
     fbbt_infeas: "jnp.ndarray"  # (B,) bool
     frac: "jnp.ndarray"         # (B, n) fractionality per var (0 for cont)
+    y: "jnp.ndarray"            # (B, m) row duals (for rc fixing/cuts)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,7 +149,8 @@ def build_node_step_unjitted(sp: StagedProblem,
             status=status, obj=res.obj, dual_bound=db, x=res.x,
             int_feasible=int_feas & ~infeas, branch_var=bvar,
             branch_val=res.x[jnp.maximum(bvar, 0)], max_frac=max_frac,
-            new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac)
+            new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac,
+            y=res.y)
 
     return step_one
 
