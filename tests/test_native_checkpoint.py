@@ -100,3 +100,32 @@ def test_distributed_bnb_mesh():
     assert status == SolveStatus.SOLVED_OPTIMAL
     expected = 2.0 + (4.0 + 5.0 ** (-2.0 / 7.0)) ** 2
     assert bab.ub == pytest.approx(expected, abs=1e-5)
+
+
+def test_checkpoint_qg_cut_pool(tmp_path):
+    """QG checkpoints include the cut pool (SerializeUT analogue for the
+    fork's wire format — here cuts round-trip through np.savez)."""
+    from minotaur_tpu.bnb.qg import QGBranchAndBound
+    p = read_nl(os.path.join(REF_TEST_INSTANCES, "tls4.nl"))
+    env = Environment()
+    env.set_option("node_batch", 4)
+    env.set_option("bnb_node_limit", 2)
+    env.set_option("qg_max_cuts", 64)
+    env.set_option("log_level", 1)
+    bab = QGBranchAndBound(p, env)
+    bab.solve()
+    assert bab.n_cuts > 0
+    ck = str(tmp_path / "qg.npz")
+    save_checkpoint(ck, bab)
+
+    env2 = Environment()
+    env2.set_option("node_batch", 4)
+    env2.set_option("qg_max_cuts", 64)
+    env2.set_option("log_level", 1)
+    bab2 = QGBranchAndBound(
+        read_nl(os.path.join(REF_TEST_INSTANCES, "tls4.nl")), env2)
+    load_checkpoint(ck, bab2)
+    assert bab2.n_cuts == bab.n_cuts
+    np.testing.assert_allclose(
+        bab2.mA[bab2._cut_base:bab2._cut_base + bab2.n_cuts],
+        bab.mA[bab._cut_base:bab._cut_base + bab.n_cuts])
