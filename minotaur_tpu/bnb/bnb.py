@@ -272,6 +272,7 @@ class BranchAndBound:
         bval = np.asarray(res.branch_val)
         nvlb = np.asarray(res.new_vlb).copy()
         nvub = np.asarray(res.new_vub).copy()
+        kkt = np.asarray(res.kkt_err) if hasattr(res, "kkt_err") else             np.full(len(batch), np.inf)
         if self._is_lp_relax and self.ub < _INF and hasattr(res, "y"):
             self._rc_fix(xs, np.asarray(res.y), db, status, nvlb, nvub)
         if seen is None:
@@ -280,6 +281,7 @@ class BranchAndBound:
             if id(node) in seen:
                 continue  # padding duplicate
             seen.add(id(node))
+            self._lane_kkt = float(kkt[i]) if i < len(kkt) else np.inf
             next_id = self._process_result(
                 node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
                 int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
@@ -399,7 +401,20 @@ class BranchAndBound:
                     self.stats.sols_found += 1
                     self.tm.set_cutoff(self._cutoff())
                     self.tm.prune_by_cutoff()
-                node.status = NodeStatus.PRUNED_OPTIMAL
+                # prune as optimal only when a certified bound supports
+                # it: an iteration-limited engine that is still diving
+                # (e.g. an unbounded NLP) must leave the node unresolved,
+                # or a wrong "optimal" claim results
+                supported = status == EngineStatus.SOLVED_OPTIMAL or \
+                    bound_for_prune >= val - 1e-4 * (1.0 + abs(val)) or \
+                    getattr(self, "_lane_kkt", np.inf) <= 1e-5
+                if supported:
+                    node.status = NodeStatus.PRUNED_OPTIMAL
+                else:
+                    self.unresolved_lb = min(self.unresolved_lb,
+                                             bound_for_prune)
+                    self.stats.unresolved += 1
+                    node.status = NodeStatus.DOMINATED
                 return next_id
 
         if bvar < 0:

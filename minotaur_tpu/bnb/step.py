@@ -35,6 +35,8 @@ class StepResult(NamedTuple):
     fbbt_infeas: "jnp.ndarray"  # (B,) bool
     frac: "jnp.ndarray"         # (B, n) fractionality per var (0 for cont)
     y: "jnp.ndarray"            # (B, m) row duals (for rc fixing/cuts)
+    kkt_err: "jnp.ndarray"      # (B,) engine KKT error (acceptable-level
+                                # decisions, reference Ipopt acceptable_tol)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,7 +152,7 @@ def build_node_step_unjitted(sp: StagedProblem,
             int_feasible=int_feas & ~infeas, branch_var=bvar,
             branch_val=res.x[jnp.maximum(bvar, 0)], max_frac=max_frac,
             new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac,
-            y=res.y)
+            y=res.y, kkt_err=res.kkt_err)
 
     return step_one
 

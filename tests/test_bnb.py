@@ -89,3 +89,13 @@ def test_debug_sol_oracle():
     x0 = 5.0 ** (-2.0 / 7.0)
     p.debug_sol = np.array([x0 + 1e-9, 4.0, 3.0])
     assert p.is_debug_sol_feas(atol=1e-6)
+
+
+def test_unbounded_nlp_not_claimed_optimal():
+    """hess.nl's relaxation dives to -2.7e11 under an iteration-limited
+    engine; the feasible iterate may become the incumbent, but the node
+    must stay unresolved so no 'optimal' claim is made (soundness)."""
+    bab = solve_file(os.path.join(REF_INSTANCES, "hess.nl"),
+                     _env(nodes=30, tl=90))
+    assert bab.status != SolveStatus.SOLVED_OPTIMAL
+    assert bab.lb == -np.inf or bab.stats.unresolved > 0
