@@ -60,7 +60,7 @@ def main():
     env.set_option("pad_full", 1)
     # color_lab QPs converge in ~8-16 IPM iterations; a tight budget keeps
     # unconverged lanes from dragging every superstep to the cap
-    env.set_option("ipm_max_iters", 24)
+    env.set_option("ipm_max_iters", 36)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
     env.set_option("log_level", 1)
