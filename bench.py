@@ -37,6 +37,20 @@ def log(msg):
 
 def main():
     t_start = time.monotonic()
+    # watchdog: the TPU tunnel can hang indefinitely on init/compile; the
+    # driver contract needs ONE JSON line no matter what
+    import threading
+
+    def _watchdog():
+        log("bench: WATCHDOG fired (tunnel hang) - emitting zero result")
+        print(json.dumps({"metric": "bnb_nodes_per_sec", "value": 0.0,
+                          "unit": "nodes/s", "vs_baseline": 0.0}),
+              flush=True)
+        os._exit(3)
+
+    guard = threading.Timer(3300.0, _watchdog)
+    guard.daemon = True
+    guard.start()
     import jax
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache: TPU compiles go through a remote-compile
@@ -91,6 +105,7 @@ def main():
         f"nodes={nodes} time={dt:.1f}s ub={bab.ub:.6g} lb={bab.lb:.6g} "
         f"batches={bab.stats.batches} total_wall={time.monotonic()-t_start:.1f}s")
 
+    guard.cancel()
     print(json.dumps({
         "metric": "bnb_nodes_per_sec",
         "value": round(nps, 2),
