@@ -1,9 +1,11 @@
-"""Fused spatial-B&B superstep for the quadratic global pipeline.
+"""Fused spatial-B&B superstep for the global (factorable) pipeline.
 
 Reference: QuadHandler.{h,cpp} — secant + tangent relaxation of squares
 (getNewSqLf_ :771), McCormick envelopes for bilinear terms
 (getNewBilLf_ :702), FBBT over terms (propSqrBnds_/propBilBnds_
-:1271-1361), spatial branching candidates from violated terms (:473).
+:1271-1361), spatial branching candidates from violated terms (:473) —
+plus CxUnivarHandler / kPowHandler (secant over/under-estimators and
+tangent cuts for univariate y=f(x) terms).
 
 TPU-native design: envelope rows are *computed inside the jitted step*
 from the node's (vlb, vub) box — 4 static rows per term whose
@@ -11,6 +13,10 @@ coefficients are functions of the bounds — so a batch of nodes each gets
 its own envelopes without shipping per-node matrices from the host, and
 tightening a box automatically tightens its relaxation.  SecantMod — the
 reference's mutable secant-update machinery — disappears entirely.
+Univariate terms carry static curvature metadata (glob/univariate.py);
+the in-trace shape selection (convex / concave / none) depends only on
+the sign of the box, so S-shaped functions regain full envelopes after
+one branch at their inflection.
 """
 
 from __future__ import annotations
@@ -25,8 +31,10 @@ from ..engines.ipm import IPMOptions, build_single_solver
 from ..engines.staging import StagedProblem
 from ..ops.interval import _idiv, _imul, linear_fbbt
 from .transformer import GlobStaged
+from .univariate import CONCAVE, CONVEX, NOENV, make_uni_fns, term_meta
 
 _BIG = 1e20
+_XCAP = 1e8
 
 
 class GlobStepResult(NamedTuple):
@@ -57,22 +65,40 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
     import jax
     import jax.numpy as jnp
 
-    n_x, n_y, nz = gs.n_x, gs.n_y, gs.n
+    n_x, n_y, n_u, nz = gs.n_x, gs.n_y, gs.n_u, gs.n
     m_base = gs.A.shape[0]
     m_env = 4 * n_y
+    m_uenv = 4 * n_u
     ti = jnp.asarray(gs.term_i.astype(np.int32))
     tj = jnp.asarray(gs.term_j.astype(np.int32))
+    ty = jnp.asarray(gs.term_y.astype(np.int32))
     is_sq = jnp.asarray(gs.term_i == gs.term_j)
     int_mask = jnp.asarray(gs.int_mask)
     has_ints = bool(gs.int_mask.any())
 
+    # ---- univariate static metadata -----------------------------------
+    if n_u:
+        metas = [term_meta(int(f), float(k))
+                 for f, k in zip(gs.uni_f, gs.uni_k)]
+        u_dom_lo = jnp.asarray([m["dom_lo"] for m in metas])
+        u_dom_hi = jnp.asarray([m["dom_hi"] for m in metas])
+        u_sh_neg = jnp.asarray([m["shape_neg"] for m in metas],
+                               dtype=jnp.int32)
+        u_sh_span = jnp.asarray([m["shape_span"] for m in metas],
+                                dtype=jnp.int32)
+        u_sh_pos = jnp.asarray([m["shape_pos"] for m in metas],
+                               dtype=jnp.int32)
+        ux = jnp.asarray(gs.uni_x.astype(np.int32))
+        uy = jnp.asarray(gs.uni_y.astype(np.int32))
+        fval, fder, frange, fback = make_uni_fns(gs.uni_f, gs.uni_k)
+
     # engine over the extended row space; env rows staged as free rows
     sp_ext = StagedProblem(
-        name=gs.name, n=nz, m=m_base + m_env, c=gs.c,
+        name=gs.name, n=nz, m=m_base + m_env + m_uenv, c=gs.c,
         obj_const=gs.obj_const, Qobj=None, obj_nl=None,
-        A=np.vstack([gs.A, np.zeros((m_env, nz))]),
-        clb=np.concatenate([gs.clb, np.full(m_env, -np.inf)]),
-        cub=np.concatenate([gs.cub, np.full(m_env, np.inf)]),
+        A=np.vstack([gs.A, np.zeros((m_env + m_uenv, nz))]),
+        clb=np.concatenate([gs.clb, np.full(m_env + m_uenv, -np.inf)]),
+        cub=np.concatenate([gs.cub, np.full(m_env + m_uenv, np.inf)]),
         vlb=gs.vlb, vub=gs.vub, int_mask=gs.int_mask,
         nl_rows=np.zeros(0, np.int32), con_nl=None, nl_graphs=[])
     solve_one = build_single_solver(sp_ext, opts.ipm)
@@ -86,9 +112,9 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
     rows = np.arange(m_env)
     tidx = rows // 4
     kind = rows % 4
-    xi_cols = gs.term_i[tidx]
-    xj_cols = gs.term_j[tidx]
-    y_cols = gs.n_x + tidx
+    xi_cols = gs.term_i[tidx] if n_y else np.zeros(0, np.int64)
+    xj_cols = gs.term_j[tidx] if n_y else np.zeros(0, np.int64)
+    y_cols = gs.term_y[tidx] if n_y else np.zeros(0, np.int64)
     rows_j = jnp.asarray(rows)
     tidx_j = jnp.asarray(tidx)
     kind_j = jnp.asarray(kind)
@@ -166,12 +192,67 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
         env_ub = jnp.where(ok & ~lower_row, rhs, jnp.inf)
         return env_A, env_lb, env_ub
 
+    def uni_envelopes(vlb, vub):
+        """4 rows per univariate term y = f(x): tangents at lo/mid/hi +
+        the secant.  Shape (convex/concave/none over this box) selects
+        row direction; tangents of a convex (concave) f at any point of
+        the box are global under-(over-)estimators on the box, so tangent
+        points may be clipped; the secant requires both true endpoints
+        finite (reference CxUnivarHandler secant/tangent logic)."""
+        lo = jnp.clip(vlb[ux], u_dom_lo, u_dom_hi)
+        hi = jnp.clip(vub[ux], u_dom_lo, u_dom_hi)
+        shape = jnp.where(lo >= 0.0, u_sh_pos,
+                          jnp.where(hi <= 0.0, u_sh_neg, u_sh_span))
+        lo_c = jnp.clip(lo, -_XCAP, _XCAP)
+        hi_c = jnp.clip(hi, -_XCAP, _XCAP)
+        mid = 0.5 * (lo_c + hi_c)
+        flo = fval(lo_c)
+        fhi = fval(hi_c)
+        fmid = fval(mid)
+        dlo = fder(lo_c)
+        dhi = fder(hi_c)
+        dmid = fder(mid)
+        width = hi - lo
+        sec_ok = jnp.isfinite(lo) & jnp.isfinite(hi) & (jnp.abs(lo) < _BIG) \
+            & (jnp.abs(hi) < _BIG) & jnp.isfinite(flo) & jnp.isfinite(fhi) \
+            & (jnp.abs(flo) < _BIG) & (jnp.abs(fhi) < _BIG) & (width > 1e-12)
+        sec = jnp.where(sec_ok, (fhi - flo) / jnp.maximum(width, 1e-12), 0.0)
+
+        # stack the 4 row kinds: 0=tan@lo, 1=tan@hi, 2=tan@mid, 3=secant
+        slope = jnp.stack([dlo, dhi, dmid, sec], axis=1)       # (n_u, 4)
+        fv = jnp.stack([flo, fhi, fmid, flo], axis=1)
+        pt = jnp.stack([lo_c, hi_c, mid, lo_c], axis=1)
+        # row:  -slope * x + y  {>=,<=}  f(pt) - slope*pt
+        rhs = fv - slope * pt
+        env = shape[:, None] != NOENV
+        tan_ok = env & jnp.isfinite(slope) & (jnp.abs(slope) < _BIG) & \
+            jnp.isfinite(rhs) & (jnp.abs(rhs) < _BIG)
+        ok4 = tan_ok.at[:, 3].set(tan_ok[:, 3] & sec_ok)
+        # convex: tangents lower rows, secant upper; concave mirrored
+        convex = (shape == CONVEX)[:, None]
+        lower = jnp.concatenate(
+            [jnp.repeat(convex, 3, axis=1), ~convex], axis=1)
+
+        slope_f = slope.reshape(-1)
+        rhs_f = rhs.reshape(-1)
+        ok_f = ok4.reshape(-1)
+        lower_f = lower.reshape(-1)
+        urows = jnp.arange(m_uenv)
+        ux4 = jnp.repeat(ux, 4)
+        uy4 = jnp.repeat(uy, 4)
+        env_A = jnp.zeros((m_uenv, nz))
+        env_A = env_A.at[urows, ux4].add(jnp.where(ok_f, -slope_f, 0.0))
+        env_A = env_A.at[urows, uy4].add(jnp.where(ok_f, 1.0, 0.0))
+        env_lb = jnp.where(ok_f & lower_f, rhs_f, -jnp.inf)
+        env_ub = jnp.where(ok_f & ~lower_f, rhs_f, jnp.inf)
+        return env_A, env_lb, env_ub
+
     def term_fbbt(vlb, vub, infeas):
         """Interval propagation through y = xi*xj both ways (reference
         propSqrBnds_/propBilBnds_), vectorized over all terms."""
         li, ui = vlb[ti], vub[ti]
         lj, uj = vlb[tj], vub[tj]
-        ylo, yhi = vlb[gs.n_x:], vub[gs.n_x:]
+        ylo, yhi = vlb[ty], vub[ty]
         # forward: y in product interval
         plo, phi = _imul(jnp, li, ui, lj, uj)
         sq_lo = jnp.where((li <= 0) & (ui >= 0), 0.0,
@@ -194,8 +275,8 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
         bi_hi = jnp.where(is_sq, sq_xhi, bi_hi)
 
         nvlb, nvub = vlb, vub
-        nvlb = nvlb.at[gs.n_x:].set(nylo)
-        nvub = nvub.at[gs.n_x:].set(nyhi)
+        nvlb = nvlb.at[ty].max(nylo)
+        nvub = nvub.at[ty].min(nyhi)
         # scatter-tighten factors (min over terms touching the var)
         nvlb = nvlb.at[ti].max(jnp.where(jnp.isnan(bi_lo), -jnp.inf, bi_lo))
         nvub = nvub.at[ti].min(jnp.where(jnp.isnan(bi_hi), jnp.inf, bi_hi))
@@ -207,6 +288,28 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
         infeas = infeas | jnp.any(nvlb > nvub + 1e-9)
         return nvlb, nvub, infeas
 
+    def uni_fbbt(vlb, vub, infeas):
+        """Interval propagation through y = f(x) both ways + domain
+        clamping (x must lie in dom(f) for the term to be defined)."""
+        lo = jnp.maximum(vlb[ux], u_dom_lo)
+        hi = jnp.minimum(vub[ux], u_dom_hi)
+        infeas = infeas | jnp.any(lo > hi + 1e-9)
+        lo_s = jnp.minimum(lo, hi)
+        rlo, rhi = frange(lo_s, hi)
+        nylo = jnp.maximum(vlb[uy], rlo)
+        nyhi = jnp.minimum(vub[uy], rhi)
+        infeas = infeas | jnp.any(nylo > nyhi + 1e-9)
+        bxlo, bxhi = fback(nylo, nyhi)
+        bxlo = jnp.where(jnp.isnan(bxlo), -jnp.inf, bxlo)
+        bxhi = jnp.where(jnp.isnan(bxhi), jnp.inf, bxhi)
+        nvlb, nvub = vlb, vub
+        nvlb = nvlb.at[ux].max(jnp.minimum(jnp.maximum(lo, bxlo), hi))
+        nvub = nvub.at[ux].min(jnp.maximum(jnp.minimum(hi, bxhi), lo_s))
+        nvlb = nvlb.at[uy].max(nylo)
+        nvub = nvub.at[uy].min(nyhi)
+        infeas = infeas | jnp.any(nvlb > nvub + 1e-9)
+        return nvlb, nvub, infeas
+
     def step_one(vlb, vub, x0, cutoff):
         infeas = jnp.asarray(False)
         for _ in range(opts.fbbt_rounds):
@@ -215,15 +318,37 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
             infeas = infeas | bad
             if n_y:
                 vlb, vub, infeas = term_fbbt(vlb, vub, infeas)
+            if n_u:
+                vlb, vub, infeas = uni_fbbt(vlb, vub, infeas)
             if has_ints:
                 vlb = jnp.where(int_mask, jnp.ceil(vlb - opts.int_tol), vlb)
                 vub = jnp.where(int_mask, jnp.floor(vub + opts.int_tol), vub)
                 infeas = infeas | jnp.any(vlb > vub + 1e-9)
 
-        env_A, env_lb, env_ub = envelopes(vlb, vub)
-        A = jnp.concatenate([A_base, env_A], axis=0)
-        clb = jnp.concatenate([clb_base, env_lb])
-        cub = jnp.concatenate([cub_base, env_ub])
+        parts_A = [A_base]
+        parts_lb = [clb_base]
+        parts_ub = [cub_base]
+        if n_y:
+            eA, elb, eub = envelopes(vlb, vub)
+            parts_A.append(eA)
+            parts_lb.append(elb)
+            parts_ub.append(eub)
+        else:
+            parts_A.append(jnp.zeros((m_env, nz)))
+            parts_lb.append(jnp.full((m_env,), -jnp.inf))
+            parts_ub.append(jnp.full((m_env,), jnp.inf))
+        if n_u:
+            uA, ulb, uub = uni_envelopes(vlb, vub)
+            parts_A.append(uA)
+            parts_lb.append(ulb)
+            parts_ub.append(uub)
+        elif m_uenv:
+            parts_A.append(jnp.zeros((m_uenv, nz)))
+            parts_lb.append(jnp.full((m_uenv,), -jnp.inf))
+            parts_ub.append(jnp.full((m_uenv,), jnp.inf))
+        A = jnp.concatenate(parts_A, axis=0)
+        clb = jnp.concatenate(parts_lb)
+        cub = jnp.concatenate(parts_ub)
         svlb = jnp.where(vlb > vub, vub, vlb)
         res = solve_one(A, clb, cub, svlb, vub, x0)
 
@@ -238,26 +363,45 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
             int_bvar = jnp.asarray(-1, dtype=jnp.int32)
 
         # term violations -> spatial branching candidate
+        xscale = jnp.maximum(1.0, jnp.max(jnp.abs(x)))
+        bil_viol = jnp.asarray(0.0)
+        uni_viol = jnp.asarray(0.0)
+        sp_var_bil = jnp.asarray(-1, dtype=jnp.int32)
+        sp_var_uni = jnp.asarray(-1, dtype=jnp.int32)
+        sp_val_uni = jnp.asarray(0.0)
+        uni_bias0 = jnp.asarray(False)
         if n_y:
-            viol = jnp.abs(x[gs.n_x + jnp.arange(n_y)] - x[ti] * x[tj])
+            viol = jnp.abs(x[ty] - x[ti] * x[tj])
             worst = jnp.argmax(viol)
-            term_ok = jnp.max(viol) <= opts.term_tol * \
-                jnp.maximum(1.0, jnp.max(jnp.abs(x)))
+            bil_viol = jnp.max(viol)
             # branch on the factor with the wider box
             wi = jnp.clip(vub[ti[worst]], -1e8, 1e8) - \
                 jnp.clip(vlb[ti[worst]], -1e8, 1e8)
             wj = jnp.clip(vub[tj[worst]], -1e8, 1e8) - \
                 jnp.clip(vlb[tj[worst]], -1e8, 1e8)
-            sp_var = jnp.where(wi >= wj, ti[worst], tj[worst]).astype(jnp.int32)
-        else:
-            term_ok = jnp.asarray(True)
-            sp_var = jnp.asarray(-1, dtype=jnp.int32)
+            sp_var_bil = jnp.where(wi >= wj, ti[worst],
+                                   tj[worst]).astype(jnp.int32)
+        if n_u:
+            uviol = jnp.abs(x[uy] - fval(jnp.clip(x[ux], u_dom_lo,
+                                                  u_dom_hi)))
+            uworst = jnp.argmax(uviol)
+            uni_viol = jnp.max(uviol)
+            sp_var_uni = ux[uworst].astype(jnp.int32)
+            # bias the branch point to the inflection when the box spans
+            # it and the spanning shape has no envelope (x^odd, tanh, ...)
+            spans = (vlb[sp_var_uni] < -1e-12) & (vub[sp_var_uni] > 1e-12)
+            uni_bias0 = spans & (u_sh_span[uworst] == NOENV)
+            sp_val_uni = jnp.where(uni_bias0, 0.0, x[sp_var_uni])
+        term_ok = jnp.maximum(bil_viol, uni_viol) <= opts.term_tol * xscale
+        use_uni = uni_viol > bil_viol
+        sp_var = jnp.where(use_uni, sp_var_uni, sp_var_bil)
 
         use_int = has_ints & ~int_ok
         bvar = jnp.where(use_int, int_bvar,
                          jnp.where(term_ok, -1, sp_var)).astype(jnp.int32)
         is_spatial = ~use_int & ~term_ok
-        bval_raw = x[jnp.maximum(bvar, 0)]
+        bval_raw = jnp.where(use_uni & is_spatial, sp_val_uni,
+                             x[jnp.maximum(bvar, 0)])
         # safeguarded spatial branch point (reference keeps it interior)
         lo_b = vlb[jnp.maximum(bvar, 0)]
         hi_b = vub[jnp.maximum(bvar, 0)]
@@ -267,6 +411,9 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
             jnp.clip(bval_raw, jnp.clip(lo_b, -1e8, 1e8) + 0.1 * w,
                      jnp.clip(hi_b, -1e8, 1e8) - 0.1 * w),
             bval_raw)
+        # branch exactly at an interior inflection (restores envelopes in
+        # both children for S-shaped univariate terms)
+        bval = jnp.where(is_spatial & use_uni & uni_bias0, 0.0, bval)
 
         from ..utils.types import EngineStatus
         status = jnp.where(

@@ -1,48 +1,86 @@
-"""Reformulate an MIQCQP to term-separable standard form.
+"""Reformulate a factorable MINLP to term-separable standard form.
 
 Reference: the Glob pipeline's transformer stage (Glob.cpp:107-130 ->
-QuadTransformer / SimpleTransformer.cpp:921 reformulate): every quadratic
-term x_i*x_j (or x_i^2) gets an auxiliary variable y_t with the defining
-constraint y_t = x_i x_j, deduplicated across the problem (the YEq*
-registries); the problem becomes linear over (x, y) plus the term
-definitions, which the relaxation step outer-approximates (McCormick /
-secant).  Convex quadratics are detected by eigenvalue check
-(reference checkQuadConvexity_ :735 via LAPACK dsyevr -> numpy.linalg
-.eigvalsh here) so the driver can forward them to QG (Glob.cpp:392-400).
+QuadTransformer / SimpleTransformer.cpp:921 `reformulate`, recursive walk
+`recursRef_` :260): every nonlinear subterm gets an auxiliary variable
+with a defining constraint — y = x_i x_j for products (handled by
+QuadHandler), y = f(x) for univariate nonlinearities (CxUnivarHandler /
+kPowHandler) — deduplicated across the problem (the YEq* registries:
+YEqVars/YEqLFs/YEqCGs/YEqMonomial...).  The problem becomes linear over
+the extended variable vector z = (x, aux) plus the term definitions,
+which the relaxation step outer-approximates (McCormick / secant /
+tangent envelopes computed in-trace from the node box).
+
+Convex quadratics are detected by eigenvalue check (reference
+checkQuadConvexity_ :735 via LAPACK dsyevr -> numpy.linalg.eigvalsh here)
+so the driver can forward them to QG (Glob.cpp:392-400).
+
+TPU-native notes: the reformulation happens once on the host; what ships
+to the device is purely static metadata (term index arrays + univariate
+shape classes), so a batch of nodes shares one compiled superstep and
+per-node state stays (vlb, vub).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..ir.expr import ExprGraph
 from ..ir.problem import Problem
+from ..ops.opcodes import Op
 from ..utils.types import INF, FunctionType
+from .univariate import term_meta, uni_range_np
+
+_INF = float("inf")
 
 
 @dataclasses.dataclass
 class GlobStaged:
-    """Standard form over z = (x, y):  min c.z  s.t. A z in [clb, cub],
-    vlb <= z <= vub,  y_t = x_{ti} * x_{tj} for each term t."""
+    """Standard form over z = (x, aux):  min c.z  s.t. A z in [clb, cub],
+    vlb <= z <= vub, plus term definitions:
+      bilinear: z[term_y[t]] = z[term_i[t]] * z[term_j[t]]
+      univariate: z[uni_y[u]] = f_{uni_f[u], uni_k[u]}(z[uni_x[u]])
+    Linear-form auxiliaries (w = a.z + b) are folded into A as equality
+    rows and need no envelopes."""
     name: str
     n_x: int
-    n_y: int
-    c: np.ndarray                # (n_x + n_y,)
+    n_y: int                     # number of bilinear/square terms
+    c: np.ndarray                # (nz,)
     obj_const: float
-    A: np.ndarray                # (m, n_x + n_y)
+    A: np.ndarray                # (m, nz)
     clb: np.ndarray
     cub: np.ndarray
-    vlb: np.ndarray              # (n_x + n_y,) including aux bounds
+    vlb: np.ndarray              # (nz,) including aux bounds
     vub: np.ndarray
     int_mask: np.ndarray
-    term_i: np.ndarray           # (n_y,) first factor
-    term_j: np.ndarray           # (n_y,) second factor (== i for squares)
+    term_i: np.ndarray           # (n_y,) first factor column
+    term_j: np.ndarray           # (n_y,) second factor column (== i: square)
+    term_y: np.ndarray = None    # (n_y,) product column
+    uni_f: np.ndarray = None     # (n_u,) opcode
+    uni_x: np.ndarray = None     # (n_u,) input column
+    uni_y: np.ndarray = None     # (n_u,) output column
+    uni_k: np.ndarray = None     # (n_u,) payload (exponent / base)
+
+    def __post_init__(self):
+        if self.term_y is None:
+            self.term_y = self.n_x + np.arange(self.n_y, dtype=np.int32)
+        for f in ("uni_f", "uni_x", "uni_y"):
+            if getattr(self, f) is None:
+                setattr(self, f, np.zeros(0, dtype=np.int32))
+        if self.uni_k is None:
+            self.uni_k = np.zeros(0, dtype=np.float64)
 
     @property
     def n(self) -> int:
-        return self.n_x + self.n_y
+        return len(self.c)
+
+    @property
+    def n_u(self) -> int:
+        return len(self.uni_f)
 
 
 def is_convex_quadratic(problem: Problem, tol: float = 1e-9) -> bool:
@@ -54,6 +92,9 @@ def is_convex_quadratic(problem: Problem, tol: float = 1e-9) -> bool:
     def eigs(qf):
         return np.linalg.eigvalsh(_quad_to_dense(qf, n))
 
+    if problem.obj and problem.obj.fun.nlf is not None and \
+            problem.obj.fun.nlf.root >= 0:
+        return False
     if problem.obj and problem.obj.fun.qf and len(problem.obj.fun.qf):
         if eigs(problem.obj.fun.qf).min() < -tol:
             return False
@@ -71,97 +112,352 @@ def is_convex_quadratic(problem: Problem, tol: float = 1e-9) -> bool:
     return True
 
 
-def transform(problem: Problem) -> GlobStaged:
-    """Build the (x, y) standard form.  Only quadratic nonlinearities are
-    supported (the Glob MIQCQP pipeline); general expressions should go
-    through mbnb/mmultistart."""
-    n = problem.n_vars
-    terms: Dict[Tuple[int, int], int] = {}   # (i, j) -> y index (YEq dedup)
+class _LinForm:
+    """Sparse linear form sum coef*z + const over the extended space."""
+    __slots__ = ("coefs", "const")
 
-    def y_index(i: int, j: int) -> int:
+    def __init__(self, coefs: Optional[Dict[int, float]] = None,
+                 const: float = 0.0):
+        self.coefs = coefs or {}
+        self.const = const
+
+    def scaled(self, s: float) -> "_LinForm":
+        return _LinForm({v: c * s for v, c in self.coefs.items()},
+                        self.const * s)
+
+    def plus(self, other: "_LinForm", sign: float = 1.0) -> "_LinForm":
+        out = dict(self.coefs)
+        for v, c in other.coefs.items():
+            out[v] = out.get(v, 0.0) + sign * c
+        return _LinForm(out, self.const + sign * other.const)
+
+    @property
+    def is_const(self) -> bool:
+        return not any(abs(c) > 1e-300 for c in self.coefs.values())
+
+    def single_col(self) -> Optional[int]:
+        live = [(v, c) for v, c in self.coefs.items() if abs(c) > 1e-300]
+        if len(live) == 1 and abs(live[0][1] - 1.0) < 1e-15 and \
+                abs(self.const) < 1e-300:
+            return live[0][0]
+        return None
+
+    def key(self) -> Tuple:
+        return (tuple(sorted((v, c) for v, c in self.coefs.items()
+                             if abs(c) > 1e-300)), self.const)
+
+
+class _Builder:
+    """Walks expression DAGs emitting deduplicated aux terms.
+
+    Mirrors SimpleTransformer::recursRef_ (SimpleTransformer.cpp:260) with
+    the YEq* registries collapsed into three dicts keyed on canonical
+    term descriptors."""
+
+    def __init__(self, problem: Problem):
+        self.p = problem
+        xlb, xub = problem.var_bounds()
+        self.vlb: List[float] = list(xlb)
+        self.vub: List[float] = list(xub)
+        self.bil: Dict[Tuple[int, int], int] = {}   # (i,j) -> y col
+        self.uni: Dict[Tuple[int, int, float], int] = {}  # (op,xc,k) -> y
+        self.lfs: Dict[Tuple, int] = {}             # linform key -> w col
+        self.extra_rows: List[Tuple[Dict[int, float], float, float]] = []
+        self.bil_list: List[Tuple[int, int, int]] = []   # (i, j, ycol)
+        self.uni_list: List[Tuple[int, int, int, float]] = []
+
+    # ------------------------------------------------------------ columns
+    def _new_col(self, lo: float, hi: float) -> int:
+        self.vlb.append(lo)
+        self.vub.append(hi)
+        return len(self.vlb) - 1
+
+    def bil_col(self, i: int, j: int) -> int:
         key = (i, j) if i <= j else (j, i)
-        if key not in terms:
-            terms[key] = len(terms)
-        return terms[key]
-
-    # first pass: register terms
-    rows_quads: List[Optional[Dict[Tuple[int, int], float]]] = []
-    for c in problem.cons:
-        if c.fun.nlf is not None and c.fun.nlf.root >= 0:
-            raise ValueError(
-                f"constraint {c.name}: general nonlinear bodies are not "
-                "supported by the quadratic transformer")
-        if c.fun.qf and len(c.fun.qf):
-            for (i, j) in c.fun.qf.terms:
-                y_index(i, j)
-            rows_quads.append(dict(c.fun.qf.terms))
+        hit = self.bil.get(key)
+        if hit is not None:
+            return hit
+        lo_i, hi_i = self.vlb[key[0]], self.vub[key[0]]
+        lo_j, hi_j = self.vlb[key[1]], self.vub[key[1]]
+        if key[0] == key[1]:
+            lo = 0.0 if lo_i <= 0.0 <= hi_i else min(lo_i ** 2, hi_i ** 2)
+            hi = max(lo_i ** 2, hi_i ** 2)
         else:
-            rows_quads.append(None)
-    obj_quads: Optional[Dict[Tuple[int, int], float]] = None
-    if problem.obj:
-        if problem.obj.fun.nlf is not None and problem.obj.fun.nlf.root >= 0:
-            raise ValueError("objective: general nonlinear bodies are not "
-                             "supported by the quadratic transformer")
-        if problem.obj.fun.qf and len(problem.obj.fun.qf):
-            obj_quads = dict(problem.obj.fun.qf.terms)
-            for (i, j) in obj_quads:
-                y_index(i, j)
+            with np.errstate(invalid="ignore"):
+                prods = [lo_i * lo_j, lo_i * hi_j, hi_i * lo_j,
+                         hi_i * hi_j]
+            prods = [0.0 if np.isnan(v) else v for v in prods]
+            lo, hi = min(prods), max(prods)
+        y = self._new_col(lo, hi)
+        self.bil[key] = y
+        self.bil_list.append((key[0], key[1], y))
+        return y
 
-    n_y = len(terms)
-    nz = n + n_y
-    m = problem.n_cons
-    A = np.zeros((m, nz))
-    clb = np.empty(m)
-    cub = np.empty(m)
-    for r, c in enumerate(problem.cons):
+    def uni_col(self, op: int, xcol: int, k: float = 0.0) -> int:
+        key = (int(op), xcol, float(k))
+        hit = self.uni.get(key)
+        if hit is not None:
+            return hit
+        meta = term_meta(op, k)
+        if not meta["ok"]:
+            raise ValueError(
+                f"op {Op(op).name} (k={k}) unsupported by the factorable "
+                "transformer")
+        lo, hi = uni_range_np(op, k, self.vlb[xcol], self.vub[xcol])
+        # domain restriction on x is sound: f(x) must be defined
+        self.vlb[xcol] = max(self.vlb[xcol], meta["dom_lo"])
+        self.vub[xcol] = min(self.vub[xcol], meta["dom_hi"])
+        y = self._new_col(lo, hi)
+        self.uni[key] = y
+        self.uni_list.append((int(op), xcol, y, float(k)))
+        return y
+
+    def col_of(self, form: _LinForm) -> int:
+        """Column representing a linear form (YEqLFs equivalent): reuse an
+        existing column for trivial forms, else an aux w with the defining
+        equality row w - form = 0."""
+        single = form.single_col()
+        if single is not None:
+            return single
+        key = form.key()
+        hit = self.lfs.get(key)
+        if hit is not None:
+            return hit
+        lo = form.const
+        hi = form.const
+        for v, c in form.coefs.items():
+            if abs(c) < 1e-300:
+                continue
+            a = c * self.vlb[v] if c > 0 else c * self.vub[v]
+            b = c * self.vub[v] if c > 0 else c * self.vlb[v]
+            lo += a if np.isfinite(a) else -_INF
+            hi += b if np.isfinite(b) else _INF
+        w = self._new_col(lo, hi)
+        row = {v: -c for v, c in form.coefs.items() if abs(c) > 1e-300}
+        row[w] = 1.0
+        self.extra_rows.append((row, form.const, form.const))
+        self.lfs[key] = w
+        return w
+
+    # --------------------------------------------------------------- walk
+    def walk(self, g: ExprGraph) -> _LinForm:
+        memo: Dict[int, _LinForm] = {}
+        op_t, a1_t, a2_t, const_t, var_t = g.tables
+
+        def rec(i: int) -> _LinForm:
+            hit = memo.get(i)
+            if hit is not None:
+                return hit
+            op = Op(op_t[i])
+            if op is Op.NUM:
+                out = _LinForm({}, float(const_t[i]))
+            elif op is Op.VAR:
+                out = _LinForm({int(var_t[i]): 1.0})
+            elif op is Op.PLUS:
+                out = rec(a1_t[i]).plus(rec(a2_t[i]))
+            elif op is Op.MINUS:
+                out = rec(a1_t[i]).plus(rec(a2_t[i]), -1.0)
+            elif op is Op.UMINUS:
+                out = rec(a1_t[i]).scaled(-1.0)
+            elif op is Op.MULT:
+                a = rec(a1_t[i])
+                b = rec(a2_t[i])
+                if a.is_const:
+                    out = b.scaled(a.const)
+                elif b.is_const:
+                    out = a.scaled(b.const)
+                else:
+                    y = self.bil_col(self.col_of(a), self.col_of(b))
+                    out = _LinForm({y: 1.0})
+            elif op is Op.SQR:
+                a = rec(a1_t[i])
+                if a.is_const:
+                    out = _LinForm({}, a.const ** 2)
+                else:
+                    w = self.col_of(a)
+                    out = _LinForm({self.bil_col(w, w): 1.0})
+            elif op is Op.DIV:
+                a = rec(a1_t[i])
+                b = rec(a2_t[i])
+                if b.is_const:
+                    if b.const == 0.0:
+                        raise ValueError("division by constant zero")
+                    out = a.scaled(1.0 / b.const)
+                else:
+                    # q = a / b  <=>  q*b - a = 0 with fresh q
+                    wb = self.col_of(b)
+                    alo, ahi = self._form_range(a)
+                    qlo, qhi = _interval_div(alo, ahi, self.vlb[wb],
+                                             self.vub[wb])
+                    q = self._new_col(qlo, qhi)
+                    t = self.bil_col(q, wb)
+                    row = {t: 1.0}
+                    for v, c in a.coefs.items():
+                        row[v] = row.get(v, 0.0) - c
+                    self.extra_rows.append((row, a.const, a.const))
+                    out = _LinForm({q: 1.0})
+            elif op is Op.POWK:
+                a = rec(a1_t[i])
+                k = float(const_t[i])
+                if a.is_const:
+                    out = _LinForm({}, a.const ** k)
+                elif abs(k - 1.0) < 1e-12:
+                    out = a
+                elif abs(k) < 1e-12:
+                    out = _LinForm({}, 1.0)
+                elif abs(k - 2.0) < 1e-12:
+                    w = self.col_of(a)
+                    out = _LinForm({self.bil_col(w, w): 1.0})
+                else:
+                    w = self.col_of(a)
+                    out = _LinForm({self.uni_col(Op.POWK, w, k): 1.0})
+            elif op is Op.CPOW:
+                a = rec(a1_t[i])
+                cbase = float(const_t[i])
+                if a.is_const:
+                    out = _LinForm({}, cbase ** a.const)
+                else:
+                    w = self.col_of(a)
+                    out = _LinForm({self.uni_col(Op.CPOW, w, cbase): 1.0})
+            elif op is Op.POW:
+                # x^y = exp(y * log(x)) (reference transformer does the
+                # same decomposition for variable exponents)
+                a = rec(a1_t[i])
+                b = rec(a2_t[i])
+                if b.is_const:
+                    k = b.const
+                    if a.is_const:
+                        out = _LinForm({}, a.const ** k)
+                    else:
+                        w = self.col_of(a)
+                        out = _LinForm({self.uni_col(Op.POWK, w, k): 1.0})
+                elif a.is_const:
+                    w = self.col_of(b)
+                    out = _LinForm({self.uni_col(Op.CPOW, w, a.const): 1.0})
+                else:
+                    wl = self.uni_col(Op.LOG, self.col_of(a))
+                    t = self.bil_col(wl, self.col_of(b))
+                    out = _LinForm({self.uni_col(Op.EXP, t): 1.0})
+            elif op in (Op.ABS, Op.SQRT, Op.EXP, Op.LOG, Op.LOG10, Op.SIN,
+                        Op.COS, Op.TAN, Op.SINH, Op.COSH, Op.TANH, Op.ASIN,
+                        Op.ACOS, Op.ATAN, Op.ASINH, Op.ACOSH, Op.ATANH):
+                a = rec(a1_t[i])
+                if a.is_const:
+                    from .univariate import uni_eval_np
+                    out = _LinForm({}, uni_eval_np(int(op), a.const, 0.0))
+                else:
+                    w = self.col_of(a)
+                    out = _LinForm({self.uni_col(op, w): 1.0})
+            else:
+                raise ValueError(
+                    f"op {op.name} unsupported by the factorable "
+                    "transformer (reference SimpleTransformer also "
+                    "rejects nonsmooth/integer ops)")
+            memo[i] = out
+            return out
+
+        return rec(g.root)
+
+    def _form_range(self, form: _LinForm) -> Tuple[float, float]:
+        lo = form.const
+        hi = form.const
+        for v, c in form.coefs.items():
+            if abs(c) < 1e-300:
+                continue
+            a = c * self.vlb[v] if c > 0 else c * self.vub[v]
+            b = c * self.vub[v] if c > 0 else c * self.vlb[v]
+            lo += a if np.isfinite(a) else -_INF
+            hi += b if np.isfinite(b) else _INF
+        return lo, hi
+
+
+def _interval_div(alo, ahi, blo, bhi):
+    if blo <= 0.0 <= bhi:
+        return (-_INF, _INF)
+    cands = []
+    for a in (alo, ahi):
+        for b in (blo, bhi):
+            if b != 0.0 and np.isfinite(a) and np.isfinite(b):
+                cands.append(a / b)
+    if not cands:
+        return (-_INF, _INF)
+    return (min(cands), max(cands))
+
+
+def transform(problem: Problem) -> GlobStaged:
+    """Build the (x, aux) standard form for spatial branch-and-bound.
+
+    Quadratic terms map to bilinear/square auxiliaries (QuadTransformer
+    path); general expression DAGs are walked recursively emitting
+    bilinear + univariate terms (SimpleTransformer path)."""
+    n = problem.n_vars
+    b = _Builder(problem)
+
+    # row linear forms (one per original constraint)
+    row_forms: List[_LinForm] = []
+    for c in problem.cons:
+        form = _LinForm()
         if c.fun.lf:
             for v, co in c.fun.lf:
-                A[r, v] = co
-        if rows_quads[r]:
-            for (i, j), co in rows_quads[r].items():
-                A[r, n + terms[(i, j) if i <= j else (j, i)]] += co
-        clb[r], cub[r] = c.lb, c.ub
+                form.coefs[v] = form.coefs.get(v, 0.0) + co
+        if c.fun.qf and len(c.fun.qf):
+            for (i, j), co in c.fun.qf.terms.items():
+                y = b.bil_col(i, j)
+                form.coefs[y] = form.coefs.get(y, 0.0) + co
+        if c.fun.nlf is not None and c.fun.nlf.root >= 0:
+            form = form.plus(b.walk(c.fun.nlf))
+        row_forms.append(form)
 
-    cvec = np.zeros(nz)
+    obj_form = _LinForm()
     obj_const = 0.0
     if problem.obj:
         obj_const = problem.obj.const
         if problem.obj.fun.lf:
             for v, co in problem.obj.fun.lf:
-                cvec[v] = co
-        if obj_quads:
-            for (i, j), co in obj_quads.items():
-                cvec[n + terms[(i, j) if i <= j else (j, i)]] += co
+                obj_form.coefs[v] = obj_form.coefs.get(v, 0.0) + co
+        if problem.obj.fun.qf and len(problem.obj.fun.qf):
+            for (i, j), co in problem.obj.fun.qf.terms.items():
+                y = b.bil_col(i, j)
+                obj_form.coefs[y] = obj_form.coefs.get(y, 0.0) + co
+        if problem.obj.fun.nlf is not None and problem.obj.fun.nlf.root >= 0:
+            obj_form = obj_form.plus(b.walk(problem.obj.fun.nlf))
+    obj_const += obj_form.const
 
-    xlb, xub = problem.var_bounds()
-    term_i = np.empty(n_y, dtype=np.int32)
-    term_j = np.empty(n_y, dtype=np.int32)
-    for (i, j), t in terms.items():
-        term_i[t] = i
-        term_j[t] = j
+    nz = len(b.vlb)
+    m = problem.n_cons + len(b.extra_rows)
+    A = np.zeros((m, nz))
+    clb = np.empty(m)
+    cub = np.empty(m)
+    for r, c in enumerate(problem.cons):
+        for v, co in row_forms[r].coefs.items():
+            A[r, v] += co
+        clb[r] = c.lb - row_forms[r].const if c.lb > -_INF else -_INF
+        cub[r] = c.ub - row_forms[r].const if c.ub < _INF else _INF
+    for k, (row, lo, hi) in enumerate(b.extra_rows):
+        r = problem.n_cons + k
+        for v, co in row.items():
+            A[r, v] += co
+        clb[r], cub[r] = lo, hi
 
-    # initial aux bounds from interval products
-    ylb = np.empty(n_y)
-    yub = np.empty(n_y)
-    for t in range(n_y):
-        i, j = term_i[t], term_j[t]
-        lo_i, hi_i = xlb[i], xub[i]
-        lo_j, hi_j = xlb[j], xub[j]
-        if i == j:
-            lo = 0.0 if lo_i <= 0.0 <= hi_i else min(lo_i ** 2, hi_i ** 2)
-            hi = max(lo_i ** 2, hi_i ** 2)
-        else:
-            prods = [lo_i * lo_j, lo_i * hi_j, hi_i * lo_j, hi_i * hi_j]
-            prods = [0.0 if np.isnan(v) else v for v in prods]
-            lo, hi = min(prods), max(prods)
-        ylb[t] = lo
-        yub[t] = hi
+    cvec = np.zeros(nz)
+    for v, co in obj_form.coefs.items():
+        cvec[v] += co
 
     int_mask = np.zeros(nz, dtype=bool)
     int_mask[problem.int_indices()] = True
 
+    n_y = len(b.bil_list)
+    term_i = np.asarray([t[0] for t in b.bil_list], dtype=np.int32)
+    term_j = np.asarray([t[1] for t in b.bil_list], dtype=np.int32)
+    term_y = np.asarray([t[2] for t in b.bil_list], dtype=np.int32)
+    uni_f = np.asarray([u[0] for u in b.uni_list], dtype=np.int32)
+    uni_x = np.asarray([u[1] for u in b.uni_list], dtype=np.int32)
+    uni_y = np.asarray([u[2] for u in b.uni_list], dtype=np.int32)
+    uni_k = np.asarray([u[3] for u in b.uni_list], dtype=np.float64)
+
     return GlobStaged(
         name=problem.name + "-glob", n_x=n, n_y=n_y, c=cvec,
         obj_const=obj_const, A=A, clb=clb, cub=cub,
-        vlb=np.concatenate([xlb, ylb]), vub=np.concatenate([xub, yub]),
-        int_mask=int_mask, term_i=term_i, term_j=term_j)
+        vlb=np.asarray(b.vlb), vub=np.asarray(b.vub),
+        int_mask=int_mask, term_i=term_i, term_j=term_j, term_y=term_y,
+        uni_f=uni_f, uni_x=uni_x, uni_y=uni_y, uni_k=uni_k)

@@ -23,18 +23,6 @@ class Glob(Solver):
     def solve(self) -> int:
         log = self.env.logger
         p = self.problem
-        has_general_nl = any(
-            c.fun.nlf is not None and c.fun.nlf.root >= 0 for c in p.cons) \
-            or (p.obj and p.obj.fun.nlf is not None and
-                p.obj.fun.nlf.root >= 0)
-        if has_general_nl:
-            log.info("general nonlinear instance: forwarding to mbnb "
-                     "(NLP-based B&B)")
-            from ..bnb.bnb import BranchAndBound
-            bab = BranchAndBound(p, env=self.env)
-            status = bab.solve()
-            self.write_solution(status, bab.ub, bab.best_x)
-            return 0
         if is_convex_quadratic(p):
             log.info("convex quadratic instance: forwarding to QG "
                      "(reference Glob fwd2QG_)")
@@ -43,7 +31,18 @@ class Glob(Solver):
             status = bab.solve()
             self.write_solution(status, bab.ub, bab.best_x)
             return 0
-        bab = GlobBranchAndBound(p, env=self.env)
+        try:
+            bab = GlobBranchAndBound(p, env=self.env)
+        except ValueError as e:
+            # factorable transformer rejects (nonsmooth op, ...): fall
+            # back to NLP-based B&B (reference Glob handles MIQCQP only
+            # and hands everything else to bnb)
+            log.info(f"transformer: {e}; forwarding to mbnb")
+            from ..bnb.bnb import BranchAndBound
+            bab = BranchAndBound(p, env=self.env)
+            status = bab.solve()
+            self.write_solution(status, bab.ub, bab.best_x)
+            return 0
         status = bab.solve()
         log.info(f"nodes: {bab.nodes_processed}  lb: {bab.lb:.10g}  "
                  f"ub: {bab.ub:.10g}")
