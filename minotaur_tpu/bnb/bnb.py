@@ -130,19 +130,36 @@ class BranchAndBound:
         pre = Presolver(self.problem, self.sp,
                         max_iters=int(opts.get("max_presolve_iters")),
                         int_tol=self._int_tol)
-        st, vlb, vub = pre.presolve(self.sp.vlb.copy(), self.sp.vub.copy())
+        vlb, vub = self.sp.vlb.copy(), self.sp.vub.copy()
+        lin = bool(opts.get("lin_presolve"))
+        if lin:
+            st, vlb, vub = pre.linear_presolve(vlb, vub)
+            if st == SolveStatus.SOLVED_INFEASIBLE:
+                self.status = SolveStatus.SOLVED_INFEASIBLE
+                return self.status
+        st, vlb, vub = pre.presolve(vlb, vub)
         if st == SolveStatus.SOLVED_INFEASIBLE:
             self.status = SolveStatus.SOLVED_INFEASIBLE
             return self.status
+        if lin:
+            st, vlb, vub = pre.linear_presolve(vlb, vub)
+            if st == SolveStatus.SOLVED_INFEASIBLE:
+                self.status = SolveStatus.SOLVED_INFEASIBLE
+                return self.status
         if opts.get("obbt"):
             vlb, vub = pre.obbt(vlb, vub)
         self.sp.vlb[:] = vlb
         self.sp.vub[:] = vub
-        if pre.stats.bounds_tightened or pre.stats.obbt_tightened:
+        s = pre.stats
+        if s.bounds_tightened or s.obbt_tightened or s.dup_rows or \
+                s.redundant_rows or s.coefs_improved or s.dual_fixed:
             self._log.info(
-                f"presolve: {pre.stats.rounds} rounds, "
-                f"{pre.stats.bounds_tightened} FBBT + "
-                f"{pre.stats.obbt_tightened} OBBT bound changes")
+                f"presolve: {s.rounds} rounds, "
+                f"{s.bounds_tightened} FBBT + {s.obbt_tightened} OBBT "
+                f"bound changes, {s.dup_rows} dup rows, "
+                f"{s.redundant_rows} redundant rows, "
+                f"{s.coefs_improved} coefs improved, "
+                f"{s.dual_fixed} dual-fixed")
         return None
 
     def solve(self) -> SolveStatus:
