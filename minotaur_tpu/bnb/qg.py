@@ -107,6 +107,7 @@ class QGBranchAndBound(BranchAndBound):
         # NLP oracle on the original space
         ipm = IPMOptions(max_iters=int(env.options.get("ipm_max_iters")),
                          tol=float(env.options.get("ipm_tol")))
+        self._ipm_opts = ipm
         self._nlp_solve = build_batch_solver(sp, ipm)
         self._cut_gen = self._build_cut_gen()
         self._requeue_cap = 50
@@ -220,18 +221,80 @@ class QGBranchAndBound(BranchAndBound):
                 for k, r in enumerate(sp.nl_rows):
                     if not np.all(np.isfinite(Jg[b, k])):
                         continue
-                    # full row: linear part + linearized nonlinear body
-                    coefs = np.zeros(self.sp.n)
-                    coefs[:sp.n] = sp.A[r] + Jg[b, k]
-                    shift = float(g[b, k] - Jg[b, k] @ xh)
-                    lb = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
-                    ub = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
-                    if lb > ub - 1e-9 and np.isfinite(lb) and np.isfinite(ub):
-                        # never create a dynamic equality cut row
-                        lb -= 1e-8
-                        ub += 1e-8
-                    added += self._add_cut(coefs, lb, ub)
+                    added += self._add_row_cut(r, xh, g[b, k], Jg[b, k])
         return added
+
+    def _add_row_cut(self, r: int, xh: np.ndarray, gval: float,
+                     grow: np.ndarray) -> int:
+        """One linearization cut of nonlinear row r at point xh."""
+        sp = self.sp_orig
+        coefs = np.zeros(self.sp.n)
+        coefs[:sp.n] = sp.A[r] + grow
+        shift = float(gval - grow @ xh)
+        lb = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
+        ub = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
+        if lb > ub - 1e-9 and np.isfinite(lb) and np.isfinite(ub):
+            # never create a dynamic equality cut row
+            lb -= 1e-8
+            ub += 1e-8
+        return int(self._add_cut(coefs, lb, ub))
+
+    def _cut_rows_at(self, pts: np.ndarray, valid: np.ndarray) -> int:
+        """Per-row cuts: point k linearizes ONLY nonlinear row k (used by
+        the ESH boundary-point scheme, where each row has its own
+        supporting point)."""
+        sp = self.sp_orig
+        out = self._cut_gen(pts)
+        g = np.asarray(out["g"])
+        Jg = np.asarray(out["Jg"])
+        added = 0
+        for k, r in enumerate(sp.nl_rows):
+            if not valid[k] or not np.all(np.isfinite(pts[k])) or \
+                    not np.all(np.isfinite(Jg[k, k])):
+                continue
+            added += self._add_row_cut(r, pts[k], g[k, k], Jg[k, k])
+        return added
+
+    def _root_linearizations(self, x0: np.ndarray) -> None:
+        """Extra root linearization schemes (reference: Linearizations
+        rs1-3/ESH + AnalyticalCenter, wired by QGHandlerAdvance)."""
+        sp = self.sp_orig
+        scheme = str(self.env.options.get("root_linearizations"))
+        if scheme not in ("esh", "sample", "both") or not len(sp.nl_rows):
+            return
+        from .linearizations import RootLinearizer
+        rl = RootLinearizer(sp, self._ipm_opts,
+                            seed=int(self.env.options.get("rand_seed")))
+        added = 0
+        if scheme in ("esh", "both"):
+            xc = rl.analytic_center(sp.vlb, sp.vub)
+            if xc is None:
+                xc = x0 if np.all(np.isfinite(x0)) else None
+            xo = self._root_lp_solution()
+            if xc is not None and xo is not None:
+                pts, valid = rl.esh_points(xc, xo)
+                if valid.any():
+                    added += self._cut_rows_at(pts, valid)
+        if scheme in ("sample", "both"):
+            cnt = int(self.env.options.get("root_linearization_samples"))
+            pts = rl.sample_points(sp.vlb, sp.vub, x0, cnt)
+            added += self._cuts_at(pts)
+        if added:
+            self._log.info(f"root linearizations ({scheme}): "
+                           f"{added} cuts")
+
+    def _root_lp_solution(self) -> Optional[np.ndarray]:
+        """Solve the current master LP once (exterior point for ESH)."""
+        import jax
+        from ..engines.ipm import build_single_solver
+        solver = jax.jit(build_single_solver(self.sp, self._ipm_opts))
+        res = solver(self.mA, self.mclb, self.mcub, self.sp.vlb,
+                     self.sp.vub, np.zeros(self.sp.n))
+        if int(res.status) not in (EngineStatus.SOLVED_OPTIMAL,
+                                   EngineStatus.ITERATION_LIMIT):
+            return None
+        x = np.asarray(res.x)[:self.sp_orig.n]
+        return x if np.all(np.isfinite(x)) else None
 
     # --------------------------------------------------------- overrides
     def solve(self) -> SolveStatus:
@@ -255,6 +318,7 @@ class QGBranchAndBound(BranchAndBound):
         if status in (EngineStatus.SOLVED_OPTIMAL,
                       EngineStatus.ITERATION_LIMIT):
             self._cuts_at(x0[None, :])
+            self._root_linearizations(x0)
             if status == EngineStatus.SOLVED_OPTIMAL and self.has_eta:
                 # eta >= continuous relaxation optimum (valid lower bound)
                 self.sp.vlb[sp.n] = float(res.obj[0]) - sp.obj_const - 1e-6

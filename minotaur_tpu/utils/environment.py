@@ -73,6 +73,12 @@ def _create_default_options(db: OptionDB) -> None:
     # --- QG / cuts -----------------------------------------------------
     ins("qg_max_cuts", int, "capacity of the preallocated QG cut pool", 2048)
     ins("cut_pool_capacity", int, "capacity of the general cut pool", 4096)
+    ins("root_linearizations", str, "extra root linearization scheme for QG: "
+        "esh (supporting hyperplanes via analytic-center bisection), sample "
+        "(gradient cuts at interior samples), both, or off "
+        "(reference Linearizations rs1-3/ESH)", "esh")
+    ins("root_linearization_samples", int, "sample count for the sampled "
+        "root linearization scheme", 8)
     # --- heuristics ----------------------------------------------------
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
     ins("fpump", bool, "feasibility pump heuristic", False)
