@@ -315,6 +315,22 @@ class QGBranchAndBound(BranchAndBound):
         if status == EngineStatus.SOLVED_INFEASIBLE:
             self.status = SolveStatus.SOLVED_INFEASIBLE
             return self.status
+        if status == EngineStatus.ITERATION_LIMIT:
+            # root NLP stalled (locally-infeasible stationary point or
+            # nonconvex cycling): rescue with one vmapped multistart batch
+            # (reference: NLPMultiStart / QuadHandler fixNodeErr rescue)
+            from .multistart import multistart_solve
+            bx, bobj, info = multistart_solve(
+                self.problem_sp_for_ms(), self.problem, n_starts=16,
+                seed=int(self.env.options.get("rand_seed")),
+                ipm=self._ipm_opts)
+            self.qg_stats.nlp_solves += info["n_starts"]
+            if bx is not None:
+                x0 = bx
+                self._log.info(
+                    f"root NLP stalled; multistart rescue found a point "
+                    f"(obj {bobj:.8g}, {info['n_feasible']}/"
+                    f"{info['n_starts']} feasible lanes)")
         if status in (EngineStatus.SOLVED_OPTIMAL,
                       EngineStatus.ITERATION_LIMIT):
             self._cuts_at(x0[None, :])
@@ -334,6 +350,10 @@ class QGBranchAndBound(BranchAndBound):
                     self.best_x = xr
                     self.stats.sols_found += 1
         return None
+
+    def problem_sp_for_ms(self):
+        """Original-space staged problem for the multistart rescue."""
+        return self.sp_orig
 
     def _master_arrays(self):
         return self.mA, self.mclb, self.mcub

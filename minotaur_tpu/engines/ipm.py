@@ -533,6 +533,9 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 a = jnp.minimum(ap, ad)
                 ap = ad = a
 
+            mu_t = sigma * mu
+            nu_pen = 10.0 * (1.0 + jnp.max(jnp.abs(y), initial=0.0))
+
             def trial(scale):
                 zt = z + scale * ap * dz_c
                 yt = y + scale * ad * dy_c
@@ -544,12 +547,39 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                                 0.0)
                 rd_xt, rd_st, rpt, _, _ = residuals(A, zt, yt, zlt, zut)
                 errt, mut = kkt_error(zt, yt, zlt, zut, rd_xt, rd_st, rpt)
-                return (zt, yt, zlt, zut, errt, mut)
+                if has_nl:
+                    # exact-penalty merit for the line search: barrier
+                    # objective + nu * primal infeasibility (Ipopt-style
+                    # globalization, simplified to a fixed scale ladder so
+                    # it vmaps; reference counterpart: Ipopt's filter
+                    # line search behind IpoptEngine)
+                    dlt, dut = distances(zt)
+                    bar = -mu_t * (
+                        jnp.sum(jnp.where(fin_l, jnp.log(dlt), 0.0)) +
+                        jnp.sum(jnp.where(fin_u, jnp.log(dut), 0.0)))
+                    theta = jnp.sum(jnp.abs(rpt))
+                    merit = f_obj(zt[:n], c_in) + bar + nu_pen * theta
+                else:
+                    merit = jnp.asarray(0.0)
+                return (zt, yt, zlt, zut, errt, mut, merit)
 
-            # (a filter line search for hard nonconvex NLPs — the
-            # luedtke-1 class — is future work; naive residual
-            # backtracking measurably hurt the well-behaved instances)
-            z_new, y_new, zl_new, zu_new, err2, mu2 = trial(1.0)
+            if has_nl:
+                # merit line search over a fixed scale ladder: take the
+                # LARGEST scale that decreases the merit or the KKT error;
+                # if none does, take the smallest step (escapes cycling
+                # where the full Mehrotra step oscillates — the luedtke-1
+                # stall mode)
+                m0 = trial(0.0)[-1]
+                cands = [trial(s) for s in (0.05, 0.25, 1.0)]
+                sel = cands[0]
+                for cand in cands[1:]:
+                    acc = ((cand[-1] < m0 - 1e-12) |
+                           (cand[4] < err)) & jnp.isfinite(cand[-1])
+                    sel = tuple(jnp.where(acc, a, b)
+                                for a, b in zip(cand, sel))
+                z_new, y_new, zl_new, zu_new, err2, mu2, _ = sel
+            else:
+                z_new, y_new, zl_new, zu_new, err2, mu2, _ = trial(1.0)
 
             # NaN guard: if the step blew up, keep the previous iterate and
             # stop (err -> 0 exits the loop; status decided from residuals).
