@@ -92,6 +92,12 @@ class BranchAndBound:
         self._pc_down = np.zeros(nn)
         self._pc_up_cnt = np.zeros(nn, dtype=np.int64)
         self._pc_down_cnt = np.zeros(nn, dtype=np.int64)
+        self._branch_freq = np.zeros(nn, dtype=np.int64)
+        # best-k solution pool (reference: SolutionPool.h:40-89)
+        from .solpool import SolutionPool
+        self.sol_pool = SolutionPool(int(opts.get("sol_pool_size")))
+        self._rng_branch = np.random.default_rng(
+            int(opts.get("rand_seed")) + 17)
 
     # ------------------------------------------------------------- bounds
     def _gap(self) -> float:
@@ -412,12 +418,7 @@ class BranchAndBound:
                 accepted = (x.copy(), float(self.problem.eval_objective(x)))
             if accepted is not None:
                 xbest, val = accepted
-                if val < self.ub - 1e-12:
-                    self.ub = val
-                    self.best_x = xbest
-                    self.stats.sols_found += 1
-                    self.tm.set_cutoff(self._cutoff())
-                    self.tm.prune_by_cutoff()
+                self._accept_incumbent(xbest, val)
                 # prune as optimal only when a certified bound supports
                 # it: an iteration-limited engine that is still diving
                 # (e.g. an unbounded NLP) must leave the node unresolved,
@@ -460,6 +461,7 @@ class BranchAndBound:
         # brancher is 'rel' and costs are observed; otherwise the device's
         # most-fractional candidate (reference MaxVioBrancher)
         bvar, bval = self._select_branch_var(x, nvlb, nvub, bvar, bval)
+        self._branch_freq[bvar] += 1
         lo = math.floor(bval + self._int_tol)
         if math.isfinite(nvlb[bvar]):
             lo = max(lo, int(math.ceil(nvlb[bvar] - 1e-9)))
@@ -483,6 +485,19 @@ class BranchAndBound:
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
+
+    def _accept_incumbent(self, x: np.ndarray, val: float) -> bool:
+        """Record a feasible solution: pool it (best-k), and if it beats
+        the incumbent update ub/cutoff and prune the open tree."""
+        self.sol_pool.add(x, val)
+        if val < self.ub - 1e-12:
+            self.ub = float(val)
+            self.best_x = np.asarray(x, dtype=np.float64).copy()
+            self.stats.sols_found += 1
+            self.tm.set_cutoff(self._cutoff())
+            self.tm.prune_by_cutoff()
+            return True
+        return False
 
     def _check_sos(self, x: np.ndarray, nvlb, nvub, tol: float = 1e-6):
         """If an SOS set is violated at x, return the two variable groups
@@ -524,14 +539,8 @@ class BranchAndBound:
         for cand in cands:
             if self.problem.is_feasible(cand, atol=1e-5,
                                         int_tol=self._int_tol):
-                val = float(self.problem.eval_objective(cand))
-                if val < self.ub - 1e-12:
-                    self.ub = val
-                    self.best_x = cand.copy()
-                    self.stats.sols_found += 1
-        if self.ub < _INF:
-            self.tm.set_cutoff(self._cutoff())
-            self.tm.prune_by_cutoff()
+                self._accept_incumbent(
+                    cand, float(self.problem.eval_objective(cand)))
 
     def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
                             nvub: np.ndarray, obj: float) -> None:
@@ -593,9 +602,14 @@ class BranchAndBound:
 
     def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
                            bvar: int, bval: float):
-        """Pseudocost product-rule selection (reference:
-        ReliabilityBrancher score, weighted min/max of up/down gains)."""
-        if self._brancher != "rel":
+        """Branching-variable selection.  `rel` = pseudocost product rule
+        (reference: ReliabilityBrancher score, weighted min/max of up/down
+        gains); `lexico` = lowest index (LexicoBrancher); `random` =
+        uniform among candidates (RandomBrancher); `maxfreq` = most often
+        branched (MaxFreqBrancher); anything else keeps the device's
+        most-fractional candidate (MaxVioBrancher)."""
+        rule = self._brancher
+        if rule not in ("rel", "strong", "lexico", "random", "maxfreq"):
             return bvar, bval
         ints = self.sp.int_mask
         frac = np.where(ints, np.abs(x - np.round(x)), 0.0)
@@ -603,16 +617,28 @@ class BranchAndBound:
         cand = np.where(frac > self._int_tol)[0]
         if len(cand) <= 1:
             return bvar, bval
-        avg_up = self._pc_up[self._pc_up_cnt > 0]
-        avg_dn = self._pc_down[self._pc_down_cnt > 0]
-        mu_up = avg_up.mean() if len(avg_up) else 1.0
-        mu_dn = avg_dn.mean() if len(avg_dn) else 1.0
-        pu = np.where(self._pc_up_cnt[cand] > 0, self._pc_up[cand], mu_up)
-        pd = np.where(self._pc_down_cnt[cand] > 0, self._pc_down[cand],
-                      mu_dn)
-        f = x[cand] - np.floor(x[cand])
-        score = np.maximum(pd * f, 1e-8) * np.maximum(pu * (1 - f), 1e-8)
-        j = cand[int(np.argmax(score))]
+        if rule == "lexico":
+            j = cand[0]
+        elif rule == "random":
+            j = cand[self._rng_branch.integers(len(cand))]
+        elif rule == "maxfreq":
+            freq = self._branch_freq[cand]
+            best = freq.max()
+            tied = cand[freq == best]
+            j = tied[int(np.argmax(frac[tied]))]   # tie-break: most frac
+        else:
+            avg_up = self._pc_up[self._pc_up_cnt > 0]
+            avg_dn = self._pc_down[self._pc_down_cnt > 0]
+            mu_up = avg_up.mean() if len(avg_up) else 1.0
+            mu_dn = avg_dn.mean() if len(avg_dn) else 1.0
+            pu = np.where(self._pc_up_cnt[cand] > 0, self._pc_up[cand],
+                          mu_up)
+            pd = np.where(self._pc_down_cnt[cand] > 0, self._pc_down[cand],
+                          mu_dn)
+            f = x[cand] - np.floor(x[cand])
+            score = np.maximum(pd * f, 1e-8) * np.maximum(pu * (1 - f),
+                                                          1e-8)
+            j = cand[int(np.argmax(score))]
         return int(j), float(x[j])
 
 

@@ -101,11 +101,8 @@ class OABranchAndBound(QGBranchAndBound):
                     np.all(np.isfinite(x_nlp)) and \
                     self.problem.is_feasible(x_nlp, atol=1e-5,
                                              int_tol=self._int_tol):
-                val = float(self.problem.eval_objective(x_nlp))
-                if val < self.ub - 1e-12:
-                    self.ub = val
-                    self.best_x = x_nlp.copy()
-                    self.stats.sols_found += 1
+                self._accept_incumbent(
+                    x_nlp, float(self.problem.eval_objective(x_nlp)))
             if self.qg_stats.cuts_added == before:
                 # no new cuts and not converged: avoid cycling
                 self.unresolved_lb = min(self.unresolved_lb,

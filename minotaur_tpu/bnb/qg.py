@@ -346,9 +346,8 @@ class QGBranchAndBound(BranchAndBound):
                 xr[ints] = np.round(xr[ints])
                 if self.problem.is_feasible(xr, atol=1e-5,
                                             int_tol=self._int_tol):
-                    self.ub = float(self.problem.eval_objective(xr))
-                    self.best_x = xr
-                    self.stats.sols_found += 1
+                    self._accept_incumbent(
+                        xr, float(self.problem.eval_objective(xr)))
         return None
 
     def problem_sp_for_ms(self):
@@ -394,13 +393,8 @@ class QGBranchAndBound(BranchAndBound):
                     np.all(np.isfinite(xs[b])) and \
                     self.problem.is_feasible(xs[b], atol=1e-5,
                                              int_tol=self._int_tol):
-                val = float(self.problem.eval_objective(xs[b]))
-                if val < self.ub - 1e-12:
-                    self.ub = val
-                    self.best_x = xs[b].copy()
-                    self.stats.sols_found += 1
-                    self.tm.set_cutoff(self._cutoff())
-                    self.tm.prune_by_cutoff()
+                self._accept_incumbent(
+                    xs[b], float(self.problem.eval_objective(xs[b])))
 
     def _run_pump(self, x_start: np.ndarray) -> None:
         if self._fp is None:
@@ -597,13 +591,9 @@ class QGBranchAndBound(BranchAndBound):
                         np.all(np.isfinite(nlp_x[j])) and \
                         self.problem.is_feasible(nlp_x[j], atol=1e-5,
                                                  int_tol=self._int_tol):
-                    val = float(self.problem.eval_objective(nlp_x[j]))
-                    if val < self.ub - 1e-12:
-                        self.ub = val
-                        self.best_x = nlp_x[j].copy()
-                        self.stats.sols_found += 1
-                        self.tm.set_cutoff(self._cutoff())
-                        self.tm.prune_by_cutoff()
+                    self._accept_incumbent(
+                        nlp_x[j],
+                        float(self.problem.eval_objective(nlp_x[j])))
 
         # --- per-node decisions -----------------------------------------
         sep_map = {i: j for j, i in enumerate(sep_lanes)}
@@ -640,13 +630,8 @@ class QGBranchAndBound(BranchAndBound):
                 x_nlp, atol=1e-5, int_tol=self._int_tol)
         if feasible_nlp:
             self.qg_stats.nlp_feasible += 1
-            val = float(self.problem.eval_objective(x_nlp))
-            if val < self.ub - 1e-12:
-                self.ub = val
-                self.best_x = x_nlp.copy()
-                self.stats.sols_found += 1
-                self.tm.set_cutoff(self._cutoff())
-                self.tm.prune_by_cutoff()
+            self._accept_incumbent(
+                x_nlp, float(self.problem.eval_objective(x_nlp)))
         else:
             self.qg_stats.nlp_infeasible += 1
 

@@ -37,6 +37,8 @@ class GlobBranchAndBound:
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
                      opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)
         self.tm = TreeManager(order)
+        from ..bnb.solpool import SolutionPool
+        self.sol_pool = SolutionPool(int(opts.get("sol_pool_size")))
         self.ub = _INF
         self.best_x: Optional[np.ndarray] = None
         self.lb = -_INF
@@ -178,6 +180,7 @@ class GlobBranchAndBound:
                 cand = x[:self.gs.n_x].copy()
             if cand is not None:
                 val = float(self.problem.eval_objective(cand))
+                self.sol_pool.add(cand, val)
                 if val < self.ub - 1e-12:
                     self.ub = val
                     self.best_x = cand

@@ -49,7 +49,9 @@ def _create_default_options(db: OptionDB) -> None:
     ins("bnb_log_interval", float, "seconds between progress rows", 5.0)
     # --- tree search ---------------------------------------------------
     ins("tree_search", str, "node selection: dfs/bfs/BthenD", "BthenD")
-    ins("brancher", str, "branching rule: maxvio/rel/strong/lexico/random", "rel")
+    ins("brancher", str, "branching rule: maxvio/rel/strong/lexico/random/"
+        "maxfreq", "rel")
+    ins("sol_pool_size", int, "capacity of the best-k solution pool", 10)
     ins("br_frac_weight", float, "weight for fractionality in branching score", 0.167)
     ins("strbr_iter_limit", int, "engine iteration limit for strong-branch probes", 20)
     ins("rel_thresh", int, "reliability threshold for pseudo-costs", 8)
