@@ -41,10 +41,16 @@ def find_knapsack_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
 
 
 def separate_cover_cuts(knap_rows, x: np.ndarray, max_cuts: int = 8,
-                        viol_tol: float = 1e-4):
+                        viol_tol: float = 1e-4, extend: bool = True):
     """Greedy minimal-cover separation at x (reference:
     CoverCutGenerator::GNS separation).  Returns [(var_indices, rhs)] for
-    cuts sum_{j in C} x_j <= rhs."""
+    cuts sum_{j in C} x_j <= rhs.
+
+    With `extend`, each minimal cover C is grown to the EXTENDED cover
+    E(C) = C + {j : a_j >= max_{i in C} a_i} (reference
+    CoverCutGenerator cover extension): any |C|-subset of E(C) weighs at
+    least as much as C itself (> b), so the same rhs stays valid and the
+    cut dominates the plain cover inequality."""
     cuts = []
     for r, nz, b, a in knap_rows:
         xs = x[nz]
@@ -67,8 +73,33 @@ def separate_cover_cuts(knap_rows, x: np.ndarray, max_cuts: int = 8,
                 keep.remove(o)
                 tot -= a[o]
         rhs = len(keep) - 1
-        if xs[keep].sum() > rhs + viol_tol:
-            cuts.append((nz[keep], float(rhs)))
+        members = list(keep)
+        if extend:
+            amax = max(a[o] for o in keep)
+            members += [o for o in range(len(nz))
+                        if o not in keep and a[o] >= amax - 1e-12]
+        if xs[members].sum() > rhs + viol_tol:
+            cuts.append((nz[members], float(rhs)))
             if len(cuts) >= max_cuts:
                 break
     return cuts
+
+
+def find_gub_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
+                  int_mask: np.ndarray, vlb: np.ndarray, vub: np.ndarray
+                  ) -> List[Tuple[int, np.ndarray]]:
+    """Generalized-upper-bound rows: sum_{j in S} x_j <= 1 over binaries
+    (reference: ProbStructure.{h,cpp} GUB detection, feeding the LGCI
+    generator).  Returns (row, var_indices)."""
+    out = []
+    is_bin = int_mask & (vlb >= -1e-9) & (vub <= 1.0 + 1e-9)
+    for r in range(A.shape[0]):
+        if not np.isfinite(cub[r]) or abs(cub[r] - 1.0) > 1e-12:
+            continue
+        nz = np.nonzero(A[r])[0]
+        if len(nz) < 2 or not np.all(is_bin[nz]):
+            continue
+        if not np.allclose(A[r, nz], 1.0):
+            continue
+        out.append((r, nz))
+    return out

@@ -18,9 +18,22 @@ class Bnb(Solver):
     name = "mbnb"
 
     def solve(self) -> int:
-        bab = BranchAndBound(self.problem, env=self.env)
-        status = bab.solve()
         log = self.env.logger
+        problem = self.problem
+        n_orig = problem.n_vars
+        if self.env.options.get("bin2lin"):
+            from ..bnb.bin2lin import binary_products_to_linear
+            res = binary_products_to_linear(problem)
+            if res is not None:
+                problem, n_orig = res
+                log.info(
+                    f"bin2lin: exact MIQP->MILP reformulation "
+                    f"({problem.n_vars - n_orig} product auxiliaries); "
+                    "tree runs on LP relaxations")
+        bab = BranchAndBound(problem, env=self.env)
+        status = bab.solve()
+        if bab.best_x is not None and len(bab.best_x) > n_orig:
+            bab.best_x = bab.best_x[:n_orig]
         log.info(f"nodes processed: {bab.stats.nodes_processed}  "
                  f"created: {bab.stats.nodes_created}  "
                  f"batches: {bab.stats.batches}  "

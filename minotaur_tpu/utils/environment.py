@@ -59,6 +59,8 @@ def _create_default_options(db: OptionDB) -> None:
     ins("vbc_file", str, "write VBC tree-trace events to this file", "")
     # --- presolve ------------------------------------------------------
     ins("presolve", bool, "run presolve before the tree", True)
+    ins("bin2lin", bool, "exact linearization of binary products "
+        "(MIQP -> MILP; reference NlPresHandler bin2Lin)", False)
     ins("nl_presolve", bool, "nonlinear presolve (FBBT through expression DAGs)", True)
     ins("lin_presolve", bool, "linear presolve passes", True)
     ins("max_presolve_iters", int, "max major presolve iterations", 5)

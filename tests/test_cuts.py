@@ -21,13 +21,14 @@ def test_find_and_separate_cover():
     assert len(cuts) == 1
     vars_, rhs = cuts[0]
     assert rhs == pytest.approx(1.0)
-    assert set(vars_) == {0, 1}
+    # cover {0,1} extended with var 2 (a_2=5 >= max cover weight 4)
+    assert set(int(v) for v in vars_) == {0, 1, 2}
     # cut is valid for every feasible binary point
     for a in range(2):
         for b in range(2):
             for c in range(2):
                 if 3 * a + 4 * b + 5 * c <= 6:
-                    assert a + b <= rhs + 1e-9
+                    assert a + b + c <= rhs + 1e-9
 
 
 def test_no_cut_when_integral():
