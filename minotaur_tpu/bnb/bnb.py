@@ -541,6 +541,24 @@ class BranchAndBound:
                                         int_tol=self._int_tol):
                 self._accept_incumbent(
                     cand, float(self.problem.eval_objective(cand)))
+        opts = self.env.options
+        seed = int(opts.get("rand_seed"))
+        if opts.get("samplingheur"):
+            from .heuristics import SamplingHeur
+            for xx, val in SamplingHeur(self.problem, self.sp,
+                                        seed=seed).run(
+                    nvlb, nvub, around=x, int_tol=self._int_tol):
+                self._accept_incumbent(xx, val)
+        if opts.get("fixvarsheur"):
+            from .heuristics import FixVarsHeur
+            from ..engines.ipm import IPMOptions
+            fv = FixVarsHeur(self.problem, self.sp,
+                             ipm=IPMOptions(
+                                 max_iters=int(opts.get("ipm_max_iters")),
+                                 tol=float(opts.get("ipm_tol"))),
+                             seed=seed)
+            for xx, val in fv.run(nvlb, nvub, x, int_tol=self._int_tol):
+                self._accept_incumbent(xx, val)
 
     def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
                             nvub: np.ndarray, obj: float) -> None:

@@ -147,3 +147,91 @@ def partition_round(x: np.ndarray, partition_rows, int_mask: np.ndarray,
         xr[nz] = 0.0
         xr[nz[top]] = 1.0
     return xr
+
+
+class SamplingHeur:
+    """Random-sampling primal heuristic (reference: SamplingHeur.{h,cpp}):
+    sample points in the box, round integers, keep feasible improvers.
+    Host evaluation only — no solves — so it runs in microseconds per
+    candidate; the TPU version simply evaluates many more candidates."""
+
+    def __init__(self, problem, sp, seed: int = 0, n_samples: int = 256):
+        self.problem = problem
+        self.sp = sp
+        self.rng = np.random.default_rng(seed)
+        self.n_samples = n_samples
+
+    def run(self, vlb: np.ndarray, vub: np.ndarray,
+            around=None, int_tol: float = 1e-6):
+        """Returns [(x, val)] feasible candidates, best first."""
+        lo = np.where(np.isfinite(vlb), vlb, -100.0)
+        hi = np.where(np.isfinite(vub), np.maximum(vub, lo), 100.0)
+        pts = self.rng.uniform(size=(self.n_samples, self.sp.n)) * \
+            (hi - lo) + lo
+        if around is not None and np.all(np.isfinite(around)):
+            k = self.n_samples // 2
+            pts[:k] = 0.75 * around[None, :] + 0.25 * pts[:k]
+        ints = self.sp.int_mask
+        pts[:, ints] = np.round(pts[:, ints])
+        pts = np.clip(pts, vlb[None, :], vub[None, :])
+        out = []
+        for x in pts:
+            if self.problem.is_feasible(x, atol=1e-6, int_tol=int_tol):
+                out.append((x.copy(),
+                            float(self.problem.eval_objective(x))))
+        out.sort(key=lambda t: t[1])
+        return out[:10]
+
+
+class FixVarsHeur:
+    """Fix-and-solve primal heuristic (reference: FixVarsHeur.{h,cpp}):
+    fix the integer variables at a rounding of a reference point and
+    solve the remaining continuous problem.  All K candidate fixings
+    solve as ONE vmapped batch (the reference solves them one at a time).
+    """
+
+    def __init__(self, problem, sp, ipm=None, seed: int = 0):
+        from ..engines.ipm import IPMOptions, build_batch_solver
+        self.problem = problem
+        self.sp = sp
+        self.rng = np.random.default_rng(seed)
+        self._solve = build_batch_solver(sp, ipm or IPMOptions())
+
+    def run(self, vlb: np.ndarray, vub: np.ndarray, x_ref: np.ndarray,
+            n_tries: int = 8, int_tol: float = 1e-6):
+        """Returns [(x, val)] feasible candidates, best first."""
+        from ..utils.types import EngineStatus
+        ints = self.sp.int_mask
+        if not ints.any() or x_ref is None or \
+                not np.all(np.isfinite(x_ref)):
+            return []
+        B = max(1, n_tries)
+        vlb2 = np.tile(vlb, (B, 1))
+        vub2 = np.tile(vub, (B, 1))
+        x0 = np.tile(x_ref, (B, 1))
+        base = np.round(x_ref[ints])
+        for b in range(B):
+            fix = base.copy()
+            if b:  # perturb a random subset of the fixing
+                flip = self.rng.uniform(size=fix.shape) < 0.25
+                direction = np.where(self.rng.uniform(size=fix.shape) < 0.5,
+                                     -1.0, 1.0)
+                fix = np.where(flip, fix + direction, fix)
+            fix = np.clip(fix, vlb[ints], vub[ints])
+            vlb2[b, ints] = fix
+            vub2[b, ints] = fix
+        res = self._solve(self.sp.A, self.sp.clb, self.sp.cub,
+                          vlb2, vub2, x0)
+        xs = np.asarray(res.x)
+        sts = np.asarray(res.status)
+        out = []
+        for b in range(B):
+            if sts[b] in (EngineStatus.SOLVED_OPTIMAL,
+                          EngineStatus.ITERATION_LIMIT) and \
+                    np.all(np.isfinite(xs[b])) and \
+                    self.problem.is_feasible(xs[b], atol=1e-5,
+                                             int_tol=int_tol):
+                out.append((xs[b].copy(),
+                            float(self.problem.eval_objective(xs[b]))))
+        out.sort(key=lambda t: t[1])
+        return out

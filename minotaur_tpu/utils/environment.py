@@ -87,6 +87,10 @@ def _create_default_options(db: OptionDB) -> None:
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
     ins("fpump", bool, "feasibility pump heuristic", False)
     ins("msheur", bool, "multistart heuristic", False)
+    ins("samplingheur", bool, "random-sampling primal heuristic at root "
+        "(reference SamplingHeur)", False)
+    ins("fixvarsheur", bool, "fix-integers-and-solve primal heuristic at "
+        "root (reference FixVarsHeur), batched", False)
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
