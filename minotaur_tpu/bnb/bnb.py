@@ -76,7 +76,8 @@ class BranchAndBound:
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
-                           tol=float(opts.get("ipm_tol"))))
+                           tol=float(opts.get("ipm_tol")),
+                           use_pallas=bool(opts.get("ipm_use_pallas"))))
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
         self._log = self.env.logger

@@ -57,7 +57,8 @@ class GlobBranchAndBound:
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")),
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
-                           tol=float(opts.get("ipm_tol"))))
+                           tol=float(opts.get("ipm_tol")),
+                           use_pallas=bool(opts.get("ipm_use_pallas"))))
         self._step = build_glob_step(self.gs, step_opts)
 
     def _gap(self) -> float:

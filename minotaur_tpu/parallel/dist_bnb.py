@@ -52,7 +52,8 @@ class DistBranchAndBound(BranchAndBound):
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
-                           tol=float(opts.get("ipm_tol"))))
+                           tol=float(opts.get("ipm_tol")),
+                           use_pallas=bool(opts.get("ipm_use_pallas"))))
         self._sharded = build_sharded_step(self.sp, step_opts, mesh)
         self.pools: List[TreeManager] = [
             TreeManager(self.tm.order) for _ in range(self.n_parts)]

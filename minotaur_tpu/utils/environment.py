@@ -72,6 +72,7 @@ def _create_default_options(db: OptionDB) -> None:
     ins("nlp_engine", str, "NLP engine (ipm)", "ipm")
     ins("ipm_max_iters", int, "max IPM iterations per solve", 90)
     ins("ipm_tol", float, "IPM convergence tolerance", 1e-8)
+    ins("ipm_use_pallas", bool, "fuse f32-phase SPD solves into the Pallas\n        kernel (TPU only)", False)
     ins("eval_within_bnds", bool, "clip x into variable bounds before evaluating "
         "nonlinear functions (guards sqrt/log domains)", True)
     # --- QG / cuts -----------------------------------------------------
