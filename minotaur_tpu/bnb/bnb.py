@@ -560,6 +560,17 @@ class BranchAndBound:
                              seed=seed)
             for xx, val in fv.run(nvlb, nvub, x, int_tol=self._int_tol):
                 self._accept_incumbent(xx, val)
+        if opts.get("qpdheur") and not self._is_lp_relax and \
+                np.all(np.isfinite(x)):
+            from .qpd import QPDiver
+            from ..engines.ipm import IPMOptions
+            qpd = QPDiver(self.problem, self.sp, x,
+                          ipm=IPMOptions(
+                              max_iters=int(opts.get("ipm_max_iters")),
+                              tol=float(opts.get("ipm_tol"))))
+            for xx, val in qpd.run(nvlb, nvub, x,
+                                   int_tol=self._int_tol):
+                self._accept_incumbent(xx, val)
 
     def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
                             nvub: np.ndarray, obj: float) -> None:

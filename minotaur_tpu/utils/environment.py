@@ -92,6 +92,8 @@ def _create_default_options(db: OptionDB) -> None:
         "(reference SamplingHeur)", False)
     ins("fixvarsheur", bool, "fix-integers-and-solve primal heuristic at "
         "root (reference FixVarsHeur), batched", False)
+    ins("qpdheur", bool, "population QP-diving heuristic at root "
+        "(reference QPDProcessor, as a primal heuristic)", False)
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
