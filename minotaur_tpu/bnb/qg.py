@@ -123,6 +123,14 @@ class QGBranchAndBound(BranchAndBound):
         self._knap_rows = find_knapsack_rows(sp.A, sp.clb, sp.cub,
                                              sp.int_mask, sp.vlb, sp.vub)
         self._rng = np.random.default_rng(int(env.options.get("rand_seed")))
+        from .persp import detect_perspective
+        self._persp = detect_perspective(sp) \
+            if env.options.get("persp_cuts") else []
+        if self._persp:
+            env.logger.info(
+                f"perspective structure: {len(self._persp)} nonlinear "
+                f"rows controlled by indicators "
+                f"(reference PerspCon/PerspCutHandler)")
         if env.options.get("fpump") or True:  # pump on by default for QG
             from .heuristics import FeasibilityPump
             self._fp = FeasibilityPump(
@@ -222,6 +230,47 @@ class QGBranchAndBound(BranchAndBound):
                     if not np.all(np.isfinite(Jg[b, k])):
                         continue
                     added += self._add_row_cut(r, xh, g[b, k], Jg[b, k])
+        if self._persp and g is not None:
+            added += self._persp_cuts_at(xhat_batch)
+        return added
+
+    def _persp_cuts_at(self, xhat_batch: np.ndarray) -> int:
+        """Perspective cuts for indicator-controlled nonlinear rows
+        (reference PerspCutGenerator):  grad(u).x + (g(u) - grad(u).u
+        - c) z <= 0 with u = xhat scaled into the z=1 slice."""
+        sp = self.sp_orig
+        pts = []
+        meta = []
+        for b in range(xhat_batch.shape[0]):
+            xh = xhat_batch[b]
+            if not np.all(np.isfinite(xh)):
+                continue
+            for pr in self._persp:
+                zbar = float(np.clip(xh[pr.z], 0.0, 1.0))
+                if zbar < 1e-4 or zbar > 1.0 - 1e-9:
+                    continue  # at z=1 it coincides with the plain cut
+                u = xh.copy()
+                u[pr.vars] = xh[pr.vars] / zbar
+                u = np.clip(u, sp.vlb, sp.vub)
+                pts.append(u)
+                meta.append(pr)
+        if not pts:
+            return 0
+        out = self._cut_gen(np.stack(pts))
+        gv = np.asarray(out["g"])
+        Jg = np.asarray(out["Jg"])
+        added = 0
+        for i, pr in enumerate(meta):
+            if not np.all(np.isfinite(Jg[i, pr.k])):
+                continue
+            u = pts[i]
+            grad_full = sp.A[pr.row] + Jg[i, pr.k]
+            gval_full = float(gv[i, pr.k] + sp.A[pr.row] @ u)
+            c = sp.cub[pr.row]
+            coefs = np.zeros(self.sp.n)
+            coefs[:sp.n] = grad_full
+            coefs[pr.z] += gval_full - float(grad_full @ u) - c
+            added += self._add_cut(coefs, -_INF, 0.0)
         return added
 
     def _add_row_cut(self, r: int, xh: np.ndarray, gval: float,

@@ -84,6 +84,8 @@ def _create_default_options(db: OptionDB) -> None:
         "(reference Linearizations rs1-3/ESH)", "esh")
     ins("root_linearization_samples", int, "sample count for the sampled "
         "root linearization scheme", 8)
+    ins("persp_cuts", bool, "perspective cuts for indicator-controlled "
+        "nonlinear rows (reference PerspCutHandler)", True)
     # --- heuristics ----------------------------------------------------
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
     ins("fpump", bool, "feasibility pump heuristic", False)
