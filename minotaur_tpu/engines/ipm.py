@@ -340,6 +340,36 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             mu / sd))
             return err, mu
 
+        def cert_bound_generic(y, cvec, const):
+            """min_{z in box} [cvec.x + y.(Ax - s)] + const — the engine
+            of both the certified LP dual bound and the Farkas
+            infeasibility certificate (cvec = 0)."""
+            t = -y
+            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
+            r = cvec - A.T @ tc          # = cvec + A'(-tc)
+            rc = jnp.where((r > 0) & ~_fin(jnp, vlb), 0.0, r)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
+            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
+                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
+            slack_pen = jnp.sum(jnp.abs(r - rc) * box)
+            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
+                                         jnp.where(tc < 0, tc * cub, 0.0)))
+            col_term = jnp.sum(jnp.where(rc > 0, rc * vlb,
+                                         jnp.where(rc < 0, rc * vub, 0.0)))
+            b = row_term + col_term - slack_pen + const
+            return jnp.where(jnp.isnan(b), -_BIG, b)
+
+        def farkas_infeasible(y):
+            """True only with a CERTIFICATE: some y proves
+            min_{box} y.(Ax - s) > 0, i.e. no point in the box satisfies
+            the linear rows (valid for LP and QP — constraints are
+            linear).  Lets infeasible lanes exit the vmapped loop early
+            instead of burning the whole iteration budget (the batch
+            runs at the pace of its slowest lane)."""
+            g0 = cert_bound_generic(y, jnp.zeros(n), 0.0)
+            return g0 > 1e-6 * (1.0 + jnp.max(jnp.abs(y), initial=0.0))
+
         def dual_cert_bound(y):
             """Certified LP lower bound from any y.
 
@@ -358,21 +388,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             finite box width (safe) or a 1e6 domain estimate for free
             variables (conservative heuristic; the reference prunes on
             fully unverified engine objectives, cf. PCBProcessor)."""
-            t = -y
-            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
-            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
-            r = c_in - A.T @ tc          # = c + A'(-tc)
-            rc = jnp.where((r > 0) & ~_fin(jnp, vlb), 0.0, r)
-            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
-            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
-                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
-            slack_pen = jnp.sum(jnp.abs(r - rc) * box)
-            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
-                                         jnp.where(tc < 0, tc * cub, 0.0)))
-            col_term = jnp.sum(jnp.where(rc > 0, rc * vlb,
-                                         jnp.where(rc < 0, rc * vub, 0.0)))
-            b = row_term + col_term - slack_pen + sp.obj_const
-            return jnp.where(jnp.isnan(b), -_BIG, b)
+            return cert_bound_generic(y, c_in, sp.obj_const)
 
         def make_step(use_f32):
           def step(carry):
@@ -593,6 +609,10 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
             if is_lp:
                 best_db = jnp.maximum(best_db, dual_cert_bound(y_new))
+            if not has_nl:
+                # certified Farkas exit (err = -2 sentinel): infeasible
+                # lanes stop dragging the whole vmapped batch
+                err2 = jnp.where(farkas_infeasible(y_new), -2.0, err2)
             return z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db
           return step
 
@@ -658,12 +678,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         # an empty bound box (possible after branching/FBBT race) is an
         # infeasible node, not a solvable problem
         empty_box = jnp.any(lz > uz + 1e-12)
+        farkas = err == -2.0
         converged = (err <= opts.tol) & (err >= 0.0) & ~empty_box
-        infeasible = empty_box | (
+        infeasible = empty_box | farkas | (
             (~converged) & (prim_err > 1e-6) &
             ((mu < opts.infeas_mu) | (dual_bound > 1e15) if is_lp
              else (mu < opts.infeas_mu)))
-        dual_bound = jnp.where(empty_box, _BIG, dual_bound)
+        dual_bound = jnp.where(empty_box | farkas, _BIG, dual_bound)
         status = jnp.where(
             converged,
             EngineStatus.SOLVED_OPTIMAL,

@@ -59,7 +59,126 @@ class GlobBranchAndBound:
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
                            tol=float(opts.get("ipm_tol")),
                            use_pallas=bool(opts.get("ipm_use_pallas"))))
+        self._step_opts = step_opts
         self._step = build_glob_step(self.gs, step_opts)
+        # primal polish: fix integers at rounded batch solutions and
+        # locally solve the ORIGINAL problem (QG's _try_fixint_incumbents
+        # pattern; the reference glob path gets incumbents from
+        # QuadHandler::fixNodeErr NLP rescues)
+        self._ipm_opts = step_opts.ipm
+        self._polish_solve = None
+        self._polish_period = 4     # supersteps between polish batches
+        self._polish_lanes = 8
+        self._steps_done = 0
+
+    def _fixint_polish(self, xs_glob: np.ndarray) -> None:
+        """xs_glob: (B, nz) glob-space batch solutions; fix rounded ints
+        in the original space, solve the continuous rest, harvest."""
+        from ..engines.ipm import build_batch_solver
+        from ..engines.staging import stage_problem
+        p = self.problem
+        if self._polish_solve is None:
+            self._sp_orig = stage_problem(p)
+            self._polish_solve = build_batch_solver(self._sp_orig,
+                                                    self._ipm_opts)
+        sp = self._sp_orig
+        ints = sp.int_mask
+        n = sp.n
+        B = min(self._polish_lanes, xs_glob.shape[0])
+        xs = xs_glob[:B, :n]
+        # dedup candidate roundings
+        seen = set()
+        cands = []
+        for b in range(B):
+            if not np.all(np.isfinite(xs[b])):
+                continue
+            key = tuple(np.round(xs[b][ints]).astype(np.int64))
+            if key in seen:
+                continue
+            seen.add(key)
+            cands.append(xs[b])
+        if not cands:
+            return
+        Bc = len(cands)
+        vlb2 = np.tile(sp.vlb, (Bc, 1))
+        vub2 = np.tile(sp.vub, (Bc, 1))
+        x0 = np.stack(cands)
+        if ints.any():
+            fixv = np.clip(np.round(x0[:, ints]), vlb2[:, ints],
+                           vub2[:, ints])
+            vlb2[:, ints] = fixv
+            vub2[:, ints] = fixv
+        res = self._polish_solve(sp.A, sp.clb, sp.cub, vlb2, vub2, x0)
+        rx = np.asarray(res.x)
+        sts = np.asarray(res.status)
+        for b in range(Bc):
+            for cand in (rx[b] if sts[b] in (1, 4) and
+                         np.all(np.isfinite(rx[b])) else None,
+                         np.clip(x0[b], vlb2[b], vub2[b])):
+                if cand is None:
+                    continue
+                if self.problem.is_feasible(cand, atol=1e-5,
+                                            int_tol=self._int_tol):
+                    val = float(self.problem.eval_objective(cand))
+                    self.sol_pool.add(cand, val)
+                    if val < self.ub - 1e-12:
+                        self.ub = val
+                        self.best_x = cand.copy()
+                        self.tm.set_cutoff(self._cutoff())
+                        self.tm.prune_by_cutoff()
+
+    def _root_obbt(self, vlb: np.ndarray, vub: np.ndarray):
+        """Root OBBT over the envelope LP relaxation: min/max every
+        extended variable (x AND aux terms) as ONE vmapped batch of
+        2*nz LPs (reference: QuadHandler::postSolveRootNode ->
+        tightenLP_, QuadHandler.cpp:2218, which solves them serially).
+        Certified dual bounds make the tightening sound even on
+        unconverged lanes."""
+        import dataclasses as _dc
+        import jax
+        from ..engines.ipm import build_single_solver
+        from ..engines.staging import StagedProblem
+        from .glob_step import build_envelope_fn
+        gs = self.gs
+        nz = gs.n
+        env_fn = build_envelope_fn(gs, self._step_opts)
+        eA, elb, eub = (np.asarray(a) for a in env_fn(vlb, vub))
+        sp = StagedProblem(
+            name=gs.name + "-obbt", n=nz, m=gs.A.shape[0] + eA.shape[0],
+            c=np.zeros(nz), obj_const=0.0, Qobj=None, obj_nl=None,
+            A=np.vstack([gs.A, eA]),
+            clb=np.concatenate([gs.clb, elb]),
+            cub=np.concatenate([gs.cub, eub]),
+            vlb=vlb, vub=vub, int_mask=gs.int_mask,
+            nl_rows=np.zeros(0, np.int32), con_nl=None, nl_graphs=[])
+        impl = build_single_solver(sp, self._ipm_opts).with_objective
+        solver = jax.jit(jax.vmap(
+            impl, in_axes=(None, None, None, None, None, 0, 0)))
+        cs = np.zeros((2 * nz, nz))
+        cs[np.arange(nz), np.arange(nz)] = 1.0
+        cs[nz + np.arange(nz), np.arange(nz)] = -1.0
+        x0 = np.zeros((2 * nz, nz))
+        res = solver(sp.A, sp.clb, sp.cub, vlb, vub, x0, cs)
+        db = np.asarray(res.dual_bound)
+        new_lo = np.maximum(vlb, db[:nz] - 1e-9)
+        new_hi = np.minimum(vub, -db[nz:] + 1e-9)
+        ok = new_lo <= new_hi + 1e-9
+        new_lo = np.where(ok, new_lo, vlb)
+        new_hi = np.where(ok, new_hi, vub)
+        ints = gs.int_mask
+        new_lo[ints] = np.ceil(new_lo[ints] - self._int_tol)
+        new_hi[ints] = np.floor(new_hi[ints] + self._int_tol)
+        nt = int(np.sum(new_lo > vlb + 1e-7) +
+                 np.sum(new_hi < vub - 1e-7))
+        if nt:
+            self._log.info(f"root OBBT: {nt} bound changes over "
+                           f"{2 * nz} batched LPs")
+        ds = self.problem.debug_sol
+        if ds is not None and not np.all(
+                (ds >= new_lo[:gs.n_x] - 1e-6) &
+                (ds <= new_hi[:gs.n_x] + 1e-6)):
+            raise AssertionError("glob OBBT cut off the debug solution")
+        return new_lo, new_hi
 
     def _gap(self) -> float:
         if self.ub >= _INF or self.lb <= -_INF:
@@ -77,9 +196,11 @@ class GlobBranchAndBound:
         last_log = t0
         nz = self.gs.n
         self.status = SolveStatus.STARTED
+        vlb0, vub0 = self.gs.vlb.copy(), self.gs.vub.copy()
+        if self.env.options.get("obbt"):
+            vlb0, vub0 = self._root_obbt(vlb0, vub0)
         self.tm.insert_root(Node(nid=0, depth=0, lb=-_INF,
-                                 vlb=self.gs.vlb.copy(),
-                                 vub=self.gs.vub.copy()))
+                                 vlb=vlb0, vub=vub0))
         next_id = 1
         while len(self.tm):
             if self._gap() <= self._rel_tol or \
@@ -110,6 +231,10 @@ class GlobBranchAndBound:
                              else np.zeros(nz) for nd in batch])
             res = self._step(vlb_b, vub_b, x0_b, jnp.asarray(self._cutoff()))
             self.nodes_processed += len(set(id(nd) for nd in batch))
+            self._steps_done += 1
+            if self._steps_done % self._polish_period == 1 or \
+                    self.ub >= _INF:
+                self._fixint_polish(np.asarray(res.x))
 
             status = np.asarray(res.status)
             obj = np.asarray(res.obj)

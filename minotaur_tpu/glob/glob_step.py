@@ -60,8 +60,43 @@ class GlobStepOptions:
     ipm: IPMOptions = IPMOptions()
 
 
-def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
-                    ) -> Callable:
+def build_envelope_fn(gs: GlobStaged,
+                      opts: GlobStepOptions = GlobStepOptions()):
+    """Standalone (vlb, vub) -> (env_A, env_lb, env_ub) over ALL terms
+    (bilinear + univariate), for callers outside the fused step (root
+    OBBT re-uses the node envelopes at the root box)."""
+    import jax
+    import jax.numpy as jnp
+    step_env = _EnvHolder()
+    build_glob_step(gs, opts, _env_out=step_env)
+
+    def env_fn(vlb, vub):
+        parts_A, parts_lb, parts_ub = [], [], []
+        if step_env.envelopes is not None:
+            a, lo, hi = step_env.envelopes(vlb, vub)
+            parts_A.append(a)
+            parts_lb.append(lo)
+            parts_ub.append(hi)
+        if step_env.uni_envelopes is not None:
+            a, lo, hi = step_env.uni_envelopes(vlb, vub)
+            parts_A.append(a)
+            parts_lb.append(lo)
+            parts_ub.append(hi)
+        if not parts_A:
+            return (jnp.zeros((0, gs.n)), jnp.zeros(0), jnp.zeros(0))
+        return (jnp.concatenate(parts_A, axis=0),
+                jnp.concatenate(parts_lb), jnp.concatenate(parts_ub))
+
+    return jax.jit(env_fn)
+
+
+class _EnvHolder:
+    envelopes = None
+    uni_envelopes = None
+
+
+def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
+                    _env_out: "_EnvHolder" = None) -> Callable:
     import jax
     import jax.numpy as jnp
 
@@ -246,6 +281,10 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions()
         env_lb = jnp.where(ok_f & lower_f, rhs_f, -jnp.inf)
         env_ub = jnp.where(ok_f & ~lower_f, rhs_f, jnp.inf)
         return env_A, env_lb, env_ub
+
+    if _env_out is not None:
+        _env_out.envelopes = envelopes if n_y else None
+        _env_out.uni_envelopes = uni_envelopes if n_u else None
 
     def term_fbbt(vlb, vub, infeas):
         """Interval propagation through y = xi*xj both ways (reference

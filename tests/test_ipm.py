@@ -115,3 +115,28 @@ def test_fixed_variable_branch():
     res = solve(sp.A, sp.clb, sp.cub, vlb[None, :], vub[None, :])
     assert abs(float(res.x[0, 1]) - 7.0) < 1e-9
     assert int(res.status[0]) == EngineStatus.SOLVED_OPTIMAL
+
+
+def test_farkas_early_exit():
+    """Certified infeasibility exits well before the iteration budget
+    (the batch runs at its slowest lane's pace)."""
+    import numpy as np
+    from minotaur_tpu.engines.ipm import IPMOptions, build_batch_solver
+    from minotaur_tpu.engines.staging import StagedProblem
+    from minotaur_tpu.utils.types import EngineStatus
+    n, m = 6, 2
+    A = np.zeros((m, n))
+    A[0, :3] = 1.0          # x0+x1+x2 >= 10 but vars in [0,1]
+    A[1, 3:] = 1.0
+    sp = StagedProblem(
+        name="farkas", n=n, m=m, c=np.ones(n), obj_const=0.0,
+        Qobj=None, obj_nl=None, A=A,
+        clb=np.array([10.0, -np.inf]), cub=np.array([np.inf, 5.0]),
+        vlb=np.zeros(n), vub=np.ones(n),
+        int_mask=np.zeros(n, bool), nl_rows=np.zeros(0, np.int32),
+        con_nl=None, nl_graphs=[])
+    solve = build_batch_solver(sp, IPMOptions(max_iters=80))
+    res = solve(sp.A, sp.clb, sp.cub, sp.vlb[None, :], sp.vub[None, :])
+    assert int(np.asarray(res.status)[0]) == EngineStatus.SOLVED_INFEASIBLE
+    assert int(np.asarray(res.iters)[0]) < 40      # exited early
+    assert float(np.asarray(res.dual_bound)[0]) > 1e15
