@@ -62,6 +62,11 @@ class IPMOptions:
     refine_steps: int = 3
     kkt_rounds: int = 2         # KKT-level defect-correction rounds (f32)
     use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
+    # keep the f32 factorization in the TAIL phase too (with deeper
+    # defect correction) instead of switching to f64 Cholesky — on TPU
+    # the f64 factorization is emulated and dominates the whole solve
+    tail_factor_f32: bool = False
+    tail_kkt_rounds: int = 4    # defect-correction depth in an f32 tail
 
 
 class IPMResult(NamedTuple):
@@ -390,7 +395,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             fully unverified engine objectives, cf. PCBProcessor)."""
             return cert_bound_generic(y, c_in, sp.obj_const)
 
-        def make_step(use_f32):
+        def make_step(use_f32, sopts=opts):
           def step(carry):
             z, y, zl, zu, k, err, mu_prev, best_db = carry
             x, s = z[:n], z[n:]
@@ -403,8 +408,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
             Dz = jnp.where(fin_l, zl / dl, 0.0) + jnp.where(fin_u, zu / du, 0.0)
             Dz = jnp.where(fixed, _PIN, Dz)
-            Dx_diag = jnp.where(fixed_x, 1.0, Dz[:n] + opts.reg_primal)
-            Ds = Dz[n:] + opts.reg_dual
+            Dx_diag = jnp.where(fixed_x, 1.0, Dz[:n] + sopts.reg_primal)
+            Ds = Dz[n:] + sopts.reg_dual
 
             if condense_x:
                 # x-space normal equations over INEQUALITY rows:
@@ -423,12 +428,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
                     W = jnp.where(wmask, W, 0.0)
                 Mx = W + jnp.diag(Dx_diag) + (Jm.T * ineq_w[None, :]) @ Jm
-                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, opts, use_f32)
+                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts, use_f32)
                 if m_eq:
                     Je = Jm[eq_rows]
                     MeJ = solve_mx(Je.T)
                     S = Je @ MeJ + 1e-10 * jnp.eye(m_eq)
-                    solve_s, _ = _make_spd_solver(jax, jnp, S, opts, use_f32)
+                    solve_s, _ = _make_spd_solver(jax, jnp, S, sopts, use_f32)
 
                 def raw_xyz(rhs1, rhs2, rhs3):
                     rx = rhs1 + Jm.T @ (ineq_w * rhs3 + rhs2)
@@ -473,7 +478,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             return dx + cx, ds + cs, dy + cy
 
                         dx, ds, dy = jax.lax.fori_loop(
-                            0, opts.kkt_rounds, corr_body, (dx, ds, dy))
+                            0, sopts.kkt_rounds, corr_body, (dx, ds, dy))
                     return dx, ds, dy
             else:
                 # m-space (classic normal equations) — better for LP with
@@ -486,7 +491,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 else:
                     W = hess_W(x, y)
                     Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
-                    Hsolve, _ = _make_spd_solver(jax, jnp, Hbar, opts, use_f32)
+                    Hsolve, _ = _make_spd_solver(jax, jnp, Hbar, sopts, use_f32)
                     JHJ = J @ Hsolve(J.T)
 
                 M = JHJ + jnp.diag(1.0 / Ds)
@@ -531,7 +536,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             du_a = du - ap * dz_a
             mu_aff = (jnp.sum(jnp.where(fin_l, dl_a * (zl + ad * dzl_a), 0.0)) +
                       jnp.sum(jnp.where(fin_u, du_a * (zu + ad * dzu_a), 0.0))) / nb
-            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** opts.sigma_pow,
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** sopts.sigma_pow,
                              0.0, 1.0)
 
             # corrector
@@ -541,10 +546,10 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 dz_c, dy_c, dzl_c, dzu_c = solve_dirs(
                     sigma * mu, dz_a * dzl_a, -dz_a * dzu_a)
 
-            ap = jnp.minimum(_max_step(jnp, dl, dz_c, opts.tau, fin_l),
-                             _max_step(jnp, du, -dz_c, opts.tau, fin_u))
-            ad = jnp.minimum(_max_step(jnp, zl, dzl_c, opts.tau, fin_l),
-                             _max_step(jnp, zu, dzu_c, opts.tau, fin_u))
+            ap = jnp.minimum(_max_step(jnp, dl, dz_c, sopts.tau, fin_l),
+                             _max_step(jnp, du, -dz_c, sopts.tau, fin_u))
+            ad = jnp.minimum(_max_step(jnp, zl, dzl_c, sopts.tau, fin_l),
+                             _max_step(jnp, zu, dzu_c, sopts.tau, fin_u))
             if has_nl:
                 a = jnp.minimum(ap, ad)
                 ap = ad = a
@@ -650,12 +655,19 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                                    state1[7]))
 
             def cond_tail(carry):
-                # the f64 tail gets its own full budget: phase-1 iters are
+                # the tail gets its own full budget: phase-1 iters are
                 # cheap and must not starve it
                 _, _, _, _, k, err, _, _ = carry
                 return (k < cap1 + opts.max_iters) & (err > opts.tol)
 
-            state2 = jax.lax.while_loop(cond_tail, make_step(False), state1)
+            if opts.tail_factor_f32:
+                # all-f32 factorizations: the tail differs from phase 1
+                # only by deeper KKT defect correction
+                tail_step = make_step(True, dataclasses.replace(
+                    opts, kkt_rounds=opts.tail_kkt_rounds))
+            else:
+                tail_step = make_step(False)
+            state2 = jax.lax.while_loop(cond_tail, tail_step, state1)
         else:
             state2 = jax.lax.while_loop(cond_to(opts.tol),
                                         make_step(False), state0)

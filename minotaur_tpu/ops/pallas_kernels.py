@@ -114,5 +114,14 @@ def refined_spd_solve_f32(minv_s, m_op, dinv, shift_vec, r,
     r_p = jnp.pad(r.astype(jnp.float32), (0, pad))[None, :]
 
     call = _build_kernel(n_pad, refine_steps, interpret)
-    out = call(minv_p, m_p, dinv_p, shift_p, r_p)
+    # under jax_enable_x64, pallas internal index bookkeeping traces to
+    # i64, which Mosaic cannot legalize ("func.return ... i64") — the
+    # kernel itself is all-f32, so trace it in an x64-disabled scope
+    import jax
+    try:
+        from jax.experimental import enable_x64
+        with enable_x64(False):
+            out = call(minv_p, m_p, dinv_p, shift_p, r_p)
+    except ImportError:
+        out = call(minv_p, m_p, dinv_p, shift_p, r_p)
     return out[0, :n]
