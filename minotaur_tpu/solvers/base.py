@@ -48,6 +48,9 @@ class Solver:
         """(reference: Solver::readProblem)"""
         if path.endswith(".mps"):
             p = read_mps(path)
+        elif path.endswith(".gms") or path.endswith(".gdx"):
+            from ..io.gams_reader import read_gams
+            p = read_gams(path)    # stub, like the reference's
         else:
             p = read_nl(path)
         self.problem = p
