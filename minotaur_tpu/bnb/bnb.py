@@ -80,6 +80,13 @@ class BranchAndBound:
                            use_pallas=bool(opts.get("ipm_use_pallas"))))
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
+        # PSD-QP relaxations also get certified dual bounds from the
+        # engine (eigendecomposition-based; engines/ipm.py qp_cert_bound)
+        self._certified_db = self._is_lp_relax
+        if not self._certified_db and self.sp.Qobj is not None and \
+                self.sp.obj_nl is None and not len(self.sp.nl_rows):
+            w = np.linalg.eigvalsh(0.5 * (self.sp.Qobj + self.sp.Qobj.T))
+            self._certified_db = bool(w.min() >= -1e-9)
         self._log = self.env.logger
         # device-resident constants: shipping A through the device tunnel
         # every superstep costs more than the solve itself
@@ -365,7 +372,7 @@ class BranchAndBound:
                 c = self._pc_down_cnt[j]
                 self._pc_down[j] = (self._pc_down[j] * c + gain) / (c + 1)
                 self._pc_down_cnt[j] = c + 1
-        if self._is_lp_relax:
+        if self._is_lp_relax or self._certified_db:
             bound_for_prune = node_bound
         else:
             # NLP relaxation: certified bound only when converged

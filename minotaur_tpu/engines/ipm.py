@@ -231,6 +231,19 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
     con_nl = sp.con_nl
     nl_rows = jnp.asarray(sp.nl_rows) if len(sp.nl_rows) else None
 
+    # static eigendecomposition of a PSD quadratic objective: enables a
+    # CERTIFIED dual bound for QP lanes (see qp_cert_bound below), so
+    # unconverged QP lanes prune soundly just like LP lanes
+    q_psd = False
+    if has_q and not has_nl:
+        _w, _V = np.linalg.eigh(0.5 * (sp.Qobj + sp.Qobj.T))
+        if _w.min() >= -1e-9:
+            q_psd = True
+            _w = np.clip(_w, 0.0, None)
+            q_eigw = jnp.asarray(_w)
+            q_eigV = jnp.asarray(_V)
+            q_wpos = jnp.asarray(_w > 1e-10)
+
     # ---------------- problem callables --------------------------------
     def f_obj(x, c):
         v = c @ x
@@ -345,10 +358,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             mu / sd))
             return err, mu
 
-        def cert_bound_generic(y, cvec, const):
+        def cert_bound_generic(y, cvec, const, with_scale=False):
             """min_{z in box} [cvec.x + y.(Ax - s)] + const — the engine
             of both the certified LP dual bound and the Farkas
-            infeasibility certificate (cvec = 0)."""
+            infeasibility certificate (cvec = 0).  with_scale also
+            returns the absolute-magnitude sum of every term, an upper
+            bound on the cancellation that floating-point evaluation of
+            the bound can suffer."""
             t = -y
             tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
             tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
@@ -363,7 +379,19 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             col_term = jnp.sum(jnp.where(rc > 0, rc * vlb,
                                          jnp.where(rc < 0, rc * vub, 0.0)))
             b = row_term + col_term - slack_pen + const
-            return jnp.where(jnp.isnan(b), -_BIG, b)
+            b = jnp.where(jnp.isnan(b), -_BIG, b)
+            if not with_scale:
+                return b
+            # |A|'|tc| bounds the matvec's own magnitude (its fp error is
+            # a small multiple of eps times this)
+            mat_mag = jnp.sum(jnp.abs(A.T) @ jnp.abs(tc))
+            scale = (jnp.sum(jnp.abs(tc) *
+                             jnp.where(_fin(jnp, clb), jnp.abs(clb), 0.0)) +
+                     jnp.sum(jnp.abs(tc) *
+                             jnp.where(_fin(jnp, cub), jnp.abs(cub), 0.0)) +
+                     jnp.sum(jnp.abs(rc) * box) + slack_pen + mat_mag +
+                     jnp.abs(const))
+            return b, scale
 
         def farkas_infeasible(y):
             """True only with a CERTIFICATE: some y proves
@@ -371,9 +399,44 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             the linear rows (valid for LP and QP — constraints are
             linear).  Lets infeasible lanes exit the vmapped loop early
             instead of burning the whole iteration budget (the batch
-            runs at the pace of its slowest lane)."""
-            g0 = cert_bound_generic(y, jnp.zeros(n), 0.0)
-            return g0 > 1e-6 * (1.0 + jnp.max(jnp.abs(y), initial=0.0))
+            runs at the pace of its slowest lane).  The margin is
+            RELATIVE to the total term magnitude: TPU f64 is emulated,
+            so an absolute margin scaled only by |y| fired falsely on
+            borderline-feasible lanes (measured on the v5e)."""
+            g0, scale = cert_bound_generic(y, jnp.zeros(n), 0.0,
+                                           with_scale=True)
+            return g0 > 1e-5 * (1.0 + scale)
+
+        def qp_cert_bound(y):
+            """Certified lower bound for PSD-QP lanes:
+               min_x [c.x + x'Qx + y.(Ax - s)]
+            >= row_term(tc) + min_{x in R^n} [r.x + x'Qx] + const
+             = row_term(tc) - 1/4 sum_{w_i>0} (V'r)_i^2 / w_i + const,
+            where r = c + A'(-tc) and Q = V diag(w) V'.  Null-space
+            components of r make the unconstrained min -inf, so they are
+            bounded through the box exactly like the LP certificate
+            (clamp + penalty)."""
+            t = -y
+            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
+            r = c_in - A.T @ tc
+            alpha = q_eigV.T @ r
+            quad_min = -0.25 * jnp.sum(
+                jnp.where(q_wpos, alpha * alpha /
+                          jnp.maximum(q_eigw, 1e-30), 0.0))
+            # null-space part r0 = V alpha0 handled box-style
+            r0 = q_eigV @ jnp.where(q_wpos, 0.0, alpha)
+            rc = jnp.where((r0 > 0) & ~_fin(jnp, vlb), 0.0, r0)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
+            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
+                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
+            pen = jnp.sum(jnp.abs(r0 - rc) * box)
+            col0 = jnp.sum(jnp.where(rc > 0, rc * vlb,
+                                     jnp.where(rc < 0, rc * vub, 0.0)))
+            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
+                                         jnp.where(tc < 0, tc * cub, 0.0)))
+            b = row_term + quad_min + col0 - pen + sp.obj_const
+            return jnp.where(jnp.isnan(b), -_BIG, b)
 
         def dual_cert_bound(y):
             """Certified LP lower bound from any y.
@@ -614,6 +677,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
             if is_lp:
                 best_db = jnp.maximum(best_db, dual_cert_bound(y_new))
+            elif q_psd:
+                best_db = jnp.maximum(best_db, qp_cert_bound(y_new))
             if not has_nl:
                 # certified Farkas exit (err = -2 sentinel): infeasible
                 # lanes stop dragging the whole vmapped batch
@@ -676,14 +741,20 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         x = z[:n]
         obj = f_obj(x, c_in) + sp.obj_const
 
-        # ---- certified dual bound (exact for LP; see module docstring) --
+        # ---- certified dual bound (exact for LP/PSD-QP) -----------------
+        trust = jnp.where((err <= opts.tol * 100) & (err >= 0.0),
+                          obj - 1e-7 * (1.0 + jnp.abs(obj)), -_BIG)
         if is_lp:
             dual_bound = jnp.maximum(best_db, dual_cert_bound(y))
+        elif q_psd:
+            # certified bound from the Q-eigendecomposition; a converged
+            # KKT point of a convex QP also supports its own objective
+            dual_bound = jnp.maximum(jnp.maximum(best_db, qp_cert_bound(y)),
+                                     trust)
         else:
             # convex NLP: trust the converged KKT point with a tolerance
             # margin (the reference trusts Ipopt the same way).
-            dual_bound = jnp.where(err <= opts.tol * 100,
-                                   obj - 1e-7 * (1.0 + jnp.abs(obj)), -_BIG)
+            dual_bound = trust
 
         rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
         prim_err = jnp.max(jnp.abs(rpf), initial=0.0)
@@ -692,10 +763,17 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         empty_box = jnp.any(lz > uz + 1e-12)
         farkas = err == -2.0
         converged = (err <= opts.tol) & (err >= 0.0) & ~empty_box
-        infeasible = empty_box | farkas | (
-            (~converged) & (prim_err > 1e-6) &
-            ((mu < opts.infeas_mu) | (dual_bound > 1e15) if is_lp
-             else (mu < opts.infeas_mu)))
+        if has_nl:
+            # no certificate exists for nonlinear rows: keep the
+            # mu-collapse heuristic (the reference trusts Ipopt's
+            # infeasibility the same way)
+            heur_infeas = (~converged) & (prim_err > 1e-6) & \
+                (mu < opts.infeas_mu)
+        else:
+            # LP/QP: infeasibility claims REQUIRE the Farkas certificate
+            # — a stalled f32 lane with collapsed mu is just unresolved
+            heur_infeas = dual_bound > 1e15
+        infeasible = empty_box | farkas | heur_infeas
         dual_bound = jnp.where(empty_box | farkas, _BIG, dual_bound)
         status = jnp.where(
             converged,
