@@ -544,7 +544,12 @@ class BranchAndBound:
             for noise in (0.0, 0.2, 0.4):
                 cands.append(partition_round(x, parts, self.sp.int_mask,
                                              rng=rng, noise=noise))
+        # staged master/reformulated problems append auxiliary variables
+        # (QG/OA epigraph eta, bin2lin binaries) AFTER the original ones;
+        # candidates are judged against the original problem only
+        nv = self.problem.n_vars
         for cand in cands:
+            cand = cand[:nv]
             if self.problem.is_feasible(cand, atol=1e-5,
                                         int_tol=self._int_tol):
                 self._accept_incumbent(

@@ -119,9 +119,11 @@ class QGBranchAndBound(BranchAndBound):
         from .heuristics import find_partition_rows
         self._part_rows = find_partition_rows(sp.A, sp.clb, sp.cub,
                                               sp.int_mask)
-        from .cuts import find_knapsack_rows
+        from .cuts import find_gub_rows, find_knapsack_rows
         self._knap_rows = find_knapsack_rows(sp.A, sp.clb, sp.cub,
                                              sp.int_mask, sp.vlb, sp.vub)
+        self._gub_rows = find_gub_rows(sp.A, sp.clb, sp.cub,
+                                       sp.int_mask, sp.vlb, sp.vub)
         self._rng = np.random.default_rng(int(env.options.get("rand_seed")))
         from .persp import detect_perspective
         self._persp = detect_perspective(sp) \
@@ -561,6 +563,19 @@ class QGBranchAndBound(BranchAndBound):
                                                       xs[i][:n]):
                     coefs = np.zeros(self.sp.n)
                     coefs[vars_] = 1.0
+                    self._add_cut(coefs, -_INF, rhs)
+            # GNS lifted GUB covers (reference: LGCIGenerator) from the
+            # most fractional LP point: general-coefficient cuts that
+            # dominate plain covers when lifting succeeds
+            from .cuts import separate_lgci_cuts
+            for i in range(min(len(batch), 2)):
+                if status[i] != EngineStatus.SOLVED_OPTIMAL or int_feas[i]:
+                    continue
+                for vars_, lcoefs, rhs in separate_lgci_cuts(
+                        self._knap_rows, self._gub_rows, xs[i][:n],
+                        max_cuts=4):
+                    coefs = np.zeros(self.sp.n)
+                    coefs[vars_] = lcoefs
                     self._add_cut(coefs, -_INF, rhs)
 
         # --- separation: integral LP lanes -> batched fix-int NLPs ------

@@ -64,9 +64,23 @@ class IPMOptions:
     use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
     # keep the f32 factorization in the TAIL phase too (with deeper
     # defect correction) instead of switching to f64 Cholesky — on TPU
-    # the f64 factorization is emulated and dominates the whole solve
-    tail_factor_f32: bool = False
-    tail_kkt_rounds: int = 4    # defect-correction depth in an f32 tail
+    # the f64 factorization is emulated and dominated the whole solve
+    # (measured v5e: 58.4 s -> 21.8 s per 64-lane batch on color_lab).
+    # Lanes the f32 tail cannot converge report ITERATION_LIMIT and keep
+    # their certified bounds; infeasibility claims need a Farkas
+    # certificate either way, so soundness is unaffected.
+    tail_factor_f32: bool = True
+    # defect-correction depth in the f32 tail: 8 rounds reaches ~4e-6 KKT
+    # error where 4 floors at ~2e-3 (each round is cheap f64 matmuls, not
+    # a factorization)
+    tail_kkt_rounds: int = 8
+    # convergence target for the all-f32 tail: the refined f32
+    # factorization floors around 2e-6 KKT error even with deep defect
+    # correction, so demanding tol=1e-8 would turn every lane into an
+    # ITERATION_LIMIT.  1e-5 is above the measured floor and matches
+    # Ipopt's acceptable_tol; certified LP/QP dual bounds are computed
+    # from the duals regardless, so pruning stays sound.
+    tail_tol: float = 1e-5
 
 
 class IPMResult(NamedTuple):
@@ -460,7 +474,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
         def make_step(use_f32, sopts=opts):
           def step(carry):
-            z, y, zl, zu, k, err, mu_prev, best_db = carry
+            (z, y, zl, zu, k, err, mu_prev, best_db,
+             bz, by, bzl, bzu, berr, bmu) = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
             rd_x, rd_s, rp, J, gf = residuals(A, z, y, zl, zu)
@@ -683,18 +698,39 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 # certified Farkas exit (err = -2 sentinel): infeasible
                 # lanes stop dragging the whole vmapped batch
                 err2 = jnp.where(farkas_infeasible(y_new), -2.0, err2)
-            return z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db
+            # best-state ratchet: an f32-factorized step near convergence
+            # (tiny mu -> KKT condition past 1/eps32) can blow the iterate
+            # up catastrophically and the f32 loop never recovers.  Track
+            # the best-KKT iterate so the solve returns it instead of the
+            # blown tail state (sentinel errs < 0 never update it).
+            better = (err2 >= 0.0) & (err2 < berr)
+            sel = lambda a, b: jnp.where(better, a, b)
+            bz2, by2 = sel(z_new, bz), sel(y_new, by)
+            bzl2, bzu2 = sel(zl_new, bzl), sel(zu_new, bzu)
+            berr2, bmu2 = sel(err2, berr), sel(mu2, bmu)
+            return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db,
+                    bz2, by2, bzl2, bzu2, berr2, bmu2)
           return step
 
         def cond_to(tol_target):
             def cond(carry):
-                _, _, _, _, k, err, _, _ = carry
-                return (k < opts.max_iters) & (err > tol_target)
+                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                # loop on the BEST error seen (berr <= err); sentinel
+                # errs (< 0: NaN stop / Farkas) exit immediately
+                return (k < opts.max_iters) & (berr > tol_target) & \
+                    (err >= 0.0)
             return cond
+
+        # effective convergence target: an all-f32 tail cannot reach the
+        # f64 tolerance (see IPMOptions.tail_tol)
+        eff_tol = (max(opts.tol, opts.tail_tol)
+                   if (opts.factor_f32 and opts.tail_factor_f32)
+                   else opts.tol)
 
         rd_x0, rd_s0, rp0, _, _ = residuals(A, z0, y0, zl0, zu0)
         err0, mu0 = kkt_error(z0, y0, zl0, zu0, rd_x0, rd_s0, rp0)
-        state0 = (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG)
+        state0 = (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG,
+                  z0, y0, zl0, zu0, err0, mu0)
         if opts.factor_f32:
             # two-phase: f32-factorized iterations until moderately
             # converged (f32+refinement stalls once the barrier pushes the
@@ -706,24 +742,32 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             cap1 = max(1, opts.max_iters // 2)
 
             def cond1(carry):
-                _, _, _, _, k, err, _, _ = carry
-                return (k < cap1) & (err > switch_tol)
+                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                return (k < cap1) & (berr > switch_tol) & (err >= 0.0)
 
             state1 = jax.lax.while_loop(cond1, make_step(True), state0)
-            # keep phase-1's state only if it actually improved: an
+            # hand the tail the BEST phase-1 iterate, not the last: an
             # ill-conditioned f32 phase can blow up the multipliers and
-            # leave the tail worse than a cold start
-            improved = state1[5] <= err0
-            keep = lambda a, b: jax.tree_util.tree_map(
-                lambda u, v: jnp.where(improved, u, v), a, b)
-            state1 = keep(state1, (z0, y0, zl0, zu0, state1[4], err0, mu0,
-                                   state1[7]))
+            # leave the tail worse than where phase 1 passed through.
+            # Farkas lanes (err == -2) keep their certificate; NaN-stopped
+            # lanes (err == -1) restart the tail from their best state.
+            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1,
+             bz1, by1, bzl1, bzu1, berr1, bmu1) = state1
+            use_b = (err1 == -1.0) | ((err1 >= 0.0) & (berr1 < err1))
+            ub_ = lambda a, b: jnp.where(use_b, a, b)
+            state1 = (ub_(bz1, z1), ub_(by1, y1), ub_(bzl1, zl1),
+                      ub_(bzu1, zu1), k1, ub_(berr1, err1), ub_(bmu1, mu1),
+                      bdb1, bz1, by1, bzl1, bzu1, berr1, bmu1)
 
             def cond_tail(carry):
                 # the tail gets its own full budget: phase-1 iters are
                 # cheap and must not starve it
-                _, _, _, _, k, err, _, _ = carry
-                return (k < cap1 + opts.max_iters) & (err > opts.tol)
+                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                # keep polishing toward the tight tolerance (f32
+                # iterations are cheap; lanes that floor early just run
+                # to the cap) — but classify convergence at eff_tol
+                return (k < cap1 + opts.max_iters) & (berr > opts.tol) & \
+                    (err >= 0.0)
 
             if opts.tail_factor_f32:
                 # all-f32 factorizations: the tail differs from phase 1
@@ -736,24 +780,37 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         else:
             state2 = jax.lax.while_loop(cond_to(opts.tol),
                                         make_step(False), state0)
-        z, y, zl, zu, iters, err, mu, best_db = state2
+        (z, y, zl, zu, iters, err, mu, best_db,
+         bz, by, bzl, bzu, berr, bmu) = state2
+        # report the best iterate seen, not the last: a blown f32 step
+        # near convergence must not discard an earlier near-optimal state.
+        # Farkas lanes (err == -2) keep their certificate state.
+        take_b = (err == -1.0) | ((err >= 0.0) & (berr < err))
+        tb = lambda a, b: jnp.where(take_b, a, b)
+        z, y, zl, zu = tb(bz, z), tb(by, y), tb(bzl, zl), tb(bzu, zu)
+        err, mu = tb(berr, err), tb(bmu, mu)
 
         x = z[:n]
         obj = f_obj(x, c_in) + sp.obj_const
 
         # ---- certified dual bound (exact for LP/PSD-QP) -----------------
-        trust = jnp.where((err <= opts.tol * 100) & (err >= 0.0),
-                          obj - 1e-7 * (1.0 + jnp.abs(obj)), -_BIG)
+        # margin adapts to the ACHIEVED error: lanes that converge tightly
+        # keep tight trust bounds; only lanes flooring at the f32 limit pay
+        trust = jnp.where((err <= eff_tol * 100) & (err >= 0.0),
+                          obj - jnp.maximum(1e-7, 10.0 * err) *
+                          (1.0 + jnp.abs(obj)), -_BIG)
         if is_lp:
-            dual_bound = jnp.maximum(best_db, dual_cert_bound(y))
+            cert_db = jnp.maximum(best_db, dual_cert_bound(y))
+            dual_bound = cert_db
         elif q_psd:
             # certified bound from the Q-eigendecomposition; a converged
             # KKT point of a convex QP also supports its own objective
-            dual_bound = jnp.maximum(jnp.maximum(best_db, qp_cert_bound(y)),
-                                     trust)
+            cert_db = jnp.maximum(best_db, qp_cert_bound(y))
+            dual_bound = jnp.maximum(cert_db, trust)
         else:
             # convex NLP: trust the converged KKT point with a tolerance
             # margin (the reference trusts Ipopt the same way).
+            cert_db = -_BIG
             dual_bound = trust
 
         rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
@@ -762,7 +819,18 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         # infeasible node, not a solvable problem
         empty_box = jnp.any(lz > uz + 1e-12)
         farkas = err == -2.0
-        converged = (err <= opts.tol) & (err >= 0.0) & ~empty_box
+        converged = (err <= eff_tol) & (err >= 0.0) & ~empty_box
+        if not has_nl:
+            # certificate-based optimality: when the CERTIFIED dual bound
+            # (never `trust`, which is derived from obj) meets the
+            # objective of a primal-feasible point, the lane is solved to
+            # tolerance no matter where the f32 KKT error floored.  This
+            # is how LP solvers certify; it keeps b&b lb tight when the
+            # f32 tail stalls above eff_tol.
+            gap_closed = cert_db >= obj - eff_tol * (1.0 + jnp.abs(obj))
+            cert_opt = gap_closed & (prim_err <= 1e-6) & (err >= 0.0) & \
+                ~empty_box
+            converged = converged | cert_opt
         if has_nl:
             # no certificate exists for nonlinear rows: keep the
             # mu-collapse heuristic (the reference trusts Ipopt's

@@ -45,3 +45,57 @@ def test_skips_nonknapsack_rows():
                               np.array([6.0, 2.0]), np.ones(3, bool),
                               np.zeros(3), np.ones(3))
     assert rows == []
+
+
+def test_lgci_valid_and_stronger():
+    """GNS lifted GUB cover cuts (reference LGCIGenerator.cpp:368): brute
+    force validity over all binary points feasible for knapsack+GUBs, and
+    the lifted cut must dominate the plain cover at the fractional point."""
+    from minotaur_tpu.bnb.cuts import find_gub_rows, separate_lgci_cuts
+    import itertools
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        nv = 8
+        a = rng.integers(2, 9, nv).astype(float)
+        b = float(a.sum() * rng.uniform(0.35, 0.6))
+        A = np.zeros((3, nv))
+        A[0] = a
+        # two disjoint GUBs over subsets
+        A[1, [0, 1, 2]] = 1.0
+        A[2, [4, 5]] = 1.0
+        clb = np.array([-np.inf] * 3)
+        cub = np.array([b, 1.0, 1.0])
+        im = np.ones(nv, bool)
+        vlb, vub = np.zeros(nv), np.ones(nv)
+        knaps = find_knapsack_rows(A, clb, cub, im, vlb, vub)
+        gubs = find_gub_rows(A, clb, cub, im, vlb, vub)
+        assert len(gubs) == 2
+        x = rng.uniform(0, 1, nv)
+        cuts = separate_lgci_cuts(knaps, gubs, x, max_cuts=4)
+        for vars_, coefs, rhs in cuts:
+            # violated at x by construction
+            assert coefs @ x[vars_] > rhs + 1e-5
+            # valid for every feasible binary point
+            for pt in itertools.product([0, 1], repeat=nv):
+                pt = np.array(pt, float)
+                if a @ pt <= b + 1e-9 and pt[[0, 1, 2]].sum() <= 1 \
+                        and pt[[4, 5]].sum() <= 1:
+                    assert coefs @ pt[vars_] <= rhs + 1e-9, \
+                        (trial, a, b, coefs, rhs, pt)
+
+
+def test_lgci_lifts_above_plain_cover():
+    # knapsack 3x1+3x2+3x3+5x4 <= 6: cover {1,2,3} -> x1+x2+x3 <= 2;
+    # lifting x4 (budget 1, no cover item fits) gives alpha = 2
+    from minotaur_tpu.bnb.cuts import separate_lgci_cuts
+    A = np.array([[3.0, 3.0, 3.0, 5.0]])
+    rows = find_knapsack_rows(A, np.array([-np.inf]), np.array([6.0]),
+                              np.ones(4, bool), np.zeros(4), np.ones(4))
+    x = np.array([0.9, 0.9, 0.9, 0.4])
+    cuts = separate_lgci_cuts(rows, [], x)
+    assert cuts
+    vars_, coefs, rhs = cuts[0]
+    got = {int(v): float(c) for v, c in zip(vars_, coefs)}
+    assert rhs == 2.0 and got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert got[3] == 2.0
