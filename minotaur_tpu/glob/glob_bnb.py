@@ -56,6 +56,7 @@ class GlobBranchAndBound:
         step_opts = GlobStepOptions(
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")),
+            rlt_cuts=int(opts.get("rlt_cuts")),
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
                            tol=float(opts.get("ipm_tol")),
                            use_pallas=bool(opts.get("ipm_use_pallas"))))

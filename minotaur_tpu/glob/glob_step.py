@@ -57,6 +57,7 @@ class GlobStepOptions:
     int_tol: float = 1e-6
     term_tol: float = 1e-6
     fbbt_rounds: int = 2
+    rlt_cuts: int = 0            # max RLT bound-factor cut candidates
     ipm: IPMOptions = IPMOptions()
 
 
@@ -82,6 +83,11 @@ def build_envelope_fn(gs: GlobStaged,
             parts_A.append(a)
             parts_lb.append(lo)
             parts_ub.append(hi)
+        if step_env.rlt_rows is not None:
+            a, lo, hi = step_env.rlt_rows(vlb, vub)
+            parts_A.append(a)
+            parts_lb.append(lo)
+            parts_ub.append(hi)
         if not parts_A:
             return (jnp.zeros((0, gs.n)), jnp.zeros(0), jnp.zeros(0))
         return (jnp.concatenate(parts_A, axis=0),
@@ -93,6 +99,7 @@ def build_envelope_fn(gs: GlobStaged,
 class _EnvHolder:
     envelopes = None
     uni_envelopes = None
+    rlt_rows = None
 
 
 def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
@@ -104,6 +111,13 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
     m_base = gs.A.shape[0]
     m_env = 4 * n_y
     m_uenv = 4 * n_u
+    rlt_cand = None
+    if opts.rlt_cuts > 0 and n_y:
+        from .rlt import build_rlt_rows_fn, enumerate_rlt
+        rlt_cand = enumerate_rlt(gs, max_cuts=opts.rlt_cuts)
+    m_rlt = 4 * rlt_cand.count if rlt_cand is not None else 0
+    rlt_rows = build_rlt_rows_fn(rlt_cand, nz) if rlt_cand is not None \
+        else None
     ti = jnp.asarray(gs.term_i.astype(np.int32))
     tj = jnp.asarray(gs.term_j.astype(np.int32))
     ty = jnp.asarray(gs.term_y.astype(np.int32))
@@ -128,12 +142,13 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
         fval, fder, frange, fback = make_uni_fns(gs.uni_f, gs.uni_k)
 
     # engine over the extended row space; env rows staged as free rows
+    m_extra = m_env + m_uenv + m_rlt
     sp_ext = StagedProblem(
-        name=gs.name, n=nz, m=m_base + m_env + m_uenv, c=gs.c,
+        name=gs.name, n=nz, m=m_base + m_extra, c=gs.c,
         obj_const=gs.obj_const, Qobj=None, obj_nl=None,
-        A=np.vstack([gs.A, np.zeros((m_env + m_uenv, nz))]),
-        clb=np.concatenate([gs.clb, np.full(m_env + m_uenv, -np.inf)]),
-        cub=np.concatenate([gs.cub, np.full(m_env + m_uenv, np.inf)]),
+        A=np.vstack([gs.A, np.zeros((m_extra, nz))]),
+        clb=np.concatenate([gs.clb, np.full(m_extra, -np.inf)]),
+        cub=np.concatenate([gs.cub, np.full(m_extra, np.inf)]),
         vlb=gs.vlb, vub=gs.vub, int_mask=gs.int_mask,
         nl_rows=np.zeros(0, np.int32), con_nl=None, nl_graphs=[])
     solve_one = build_single_solver(sp_ext, opts.ipm)
@@ -285,6 +300,7 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
     if _env_out is not None:
         _env_out.envelopes = envelopes if n_y else None
         _env_out.uni_envelopes = uni_envelopes if n_u else None
+        _env_out.rlt_rows = rlt_rows
 
     def term_fbbt(vlb, vub, infeas):
         """Interval propagation through y = xi*xj both ways (reference
@@ -385,6 +401,11 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
             parts_A.append(jnp.zeros((m_uenv, nz)))
             parts_lb.append(jnp.full((m_uenv,), -jnp.inf))
             parts_ub.append(jnp.full((m_uenv,), jnp.inf))
+        if m_rlt:
+            rA, rlb, rub = rlt_rows(vlb, vub)
+            parts_A.append(rA)
+            parts_lb.append(rlb)
+            parts_ub.append(rub)
         A = jnp.concatenate(parts_A, axis=0)
         clb = jnp.concatenate(parts_lb)
         cub = jnp.concatenate(parts_ub)

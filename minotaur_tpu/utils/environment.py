@@ -65,6 +65,8 @@ def _create_default_options(db: OptionDB) -> None:
     ins("lin_presolve", bool, "linear presolve passes", True)
     ins("max_presolve_iters", int, "max major presolve iterations", 5)
     ins("obbt", bool, "optimality-based bound tightening at root", False)
+    ins("rlt_cuts", int, "max RLT bound-factor cut candidates in glob "
+        "(reference SimplexQuadCutGen; 0 disables)", 16)
     ins("fbbt_rounds", int, "FBBT sweeps per node presolve", 2)
     # --- engines -------------------------------------------------------
     ins("lp_engine", str, "LP engine (ipm)", "ipm")
