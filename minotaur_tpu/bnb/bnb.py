@@ -217,6 +217,7 @@ class BranchAndBound:
             batch = self.tm.pop_batch(self._batch)
             if not batch:
                 break
+            batch = self._expand_batch(batch)
             B = len(batch)
             # pad to a bucket size to bound recompiles; geometric ladder
             # 1, 4, 16, 64, ... keeps compiles to log4(batch) total, or a
@@ -236,8 +237,7 @@ class BranchAndBound:
 
             vlb_b = np.stack([nd.vlb for nd in batch])
             vub_b = np.stack([nd.vub for nd in batch])
-            x0_b = np.stack([nd.warm_x if nd.warm_x is not None
-                             else np.zeros(n) for nd in batch])
+            x0_b = self._lane_starts(batch)
             res = self._run_step(vlb_b, vub_b, x0_b)
             self.stats.batches += 1
             self.stats.solves += B
@@ -277,6 +277,17 @@ class BranchAndBound:
             self.lb = self.ub if self.ub < _INF else self.lb
         self.stats.time = time.monotonic() - t0
         return self.status
+
+    def _expand_batch(self, batch: List[Node]) -> List[Node]:
+        """Lane-expansion hook: MsBranchAndBound replicates each node
+        into several restart lanes (reference MsProcessor)."""
+        return batch
+
+    def _lane_starts(self, batch: List[Node]) -> np.ndarray:
+        """Warm-start vector per lane (hook for multistart lanes)."""
+        n = self.sp.n
+        return np.stack([nd.warm_x if nd.warm_x is not None
+                         else np.zeros(n) for nd in batch])
 
     def _run_step(self, vlb_b, vub_b, x0_b):
         if self._dev_consts is None:

@@ -69,3 +69,85 @@ def multistart_solve(sp: StagedProblem, problem, n_starts: int = 32,
     info = {"n_starts": n_starts, "n_feasible": n_feas,
             "distinct_objs": len(np.unique(np.round(objs[sts == 1], 6)))}
     return best_x, best_obj, info
+
+
+from .bnb import BranchAndBound  # noqa: E402  (after helpers by design)
+
+
+class MsBranchAndBound(BranchAndBound):
+    """In-tree multistart node processing.
+
+    Reference: MsProcessor.{h,cpp} — each node's relaxation is re-solved
+    from `msbnb_restarts` start points (random + corner schemes,
+    `msbnb_scheme_id`, MsProcessor.cpp:166-294), the reference looping
+    over OpenMP threads.  TPU-native design: the restarts are extra
+    lanes of the SAME vmapped superstep — a popped node occupies R
+    adjacent lanes with distinct starts and the lane results merge on
+    the host by best converged objective.  The merged dual bound is the
+    MIN over lanes (the weakest claim: restarts of a nonconvex NLP are
+    local solves, so a smaller reported bound is never less sound than
+    a larger one).
+    """
+
+    def __init__(self, problem, env=None, staged=None):
+        super().__init__(problem, env, staged)
+        opts = self.env.options
+        self._restarts = max(1, int(opts.get("msbnb_restarts")))
+        self._ms_rng = np.random.default_rng(
+            int(opts.get("rand_seed")) + 91)
+        if self._restarts > 1:
+            # keep the device batch size; pop fewer tree nodes
+            self._batch = max(1, self._batch // self._restarts)
+
+    def _expand_batch(self, batch):
+        if self._restarts == 1:
+            return batch
+        out = []
+        for nd in batch:
+            out.extend([nd] * self._restarts)
+        return out
+
+    def _lane_starts(self, batch):
+        if self._restarts == 1:
+            return super()._lane_starts(batch)
+        xs = []
+        prev = None
+        for nd in batch:
+            first = nd is not prev
+            prev = nd
+            if first and nd.warm_x is not None:
+                xs.append(np.asarray(nd.warm_x, dtype=float))
+            else:
+                xs.append(sample_starts(nd.vlb, nd.vub, 1, self._ms_rng)[0])
+        return np.stack(xs)
+
+    def _handle_batch(self, batch, res, next_id, seen=None):
+        if self._restarts == 1:
+            return super()._handle_batch(batch, res, next_id, seen)
+        fields = {f: np.asarray(getattr(res, f)) for f in res._fields}
+        lanes = {}
+        order = []
+        for i, nd in enumerate(batch):
+            ls = lanes.setdefault(id(nd), [])
+            if not ls:
+                order.append(nd)
+            ls.append(i)
+        ok_status = (int(EngineStatus.SOLVED_OPTIMAL),
+                     int(EngineStatus.ITERATION_LIMIT))
+        sel = []
+        dbs = []
+        for nd in order:
+            ls = lanes[id(nd)]
+            best, bi = np.inf, ls[0]
+            for i in ls:
+                ob = float(fields["obj"][i])
+                if int(fields["status"][i]) in ok_status and \
+                        np.isfinite(ob) and ob < best:
+                    best, bi = ob, i
+            sel.append(bi)
+            dbs.append(min(float(fields["dual_bound"][i]) for i in ls))
+        sel = np.asarray(sel)
+        merged = {f: arr[sel] for f, arr in fields.items()}
+        merged["dual_bound"] = np.asarray(dbs)
+        return super()._handle_batch(order, type(res)(**merged),
+                                     next_id, seen)

@@ -38,7 +38,11 @@ class MultiStart(Solver):
                       else SolveStatus.SOLVED_INFEASIBLE)
             self.write_solution(status, obj, x)
             return 0
-        bab = BranchAndBound(self.problem, env=self.env, staged=sp)
+        from ..bnb.multistart import MsBranchAndBound
+        is_nl = (sp.obj_nl is not None or len(sp.nl_rows) > 0 or
+                 sp.Qobj is not None)
+        cls = MsBranchAndBound if is_nl else BranchAndBound
+        bab = cls(self.problem, env=self.env, staged=sp)
         if x is not None:
             # seed the tree with the multistart incumbent if it is
             # integer-feasible after rounding

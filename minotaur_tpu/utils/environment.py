@@ -100,6 +100,8 @@ def _create_default_options(db: OptionDB) -> None:
         "(reference QPDProcessor, as a primal heuristic)", False)
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
+    ins("msbnb_restarts", int, "multistart restart lanes per node in "
+        "msbnb (reference MsProcessor msbnb_restarts; 1 disables)", 4)
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
         "bucket; padding is nearly free on latency-bound TPU supersteps)",
         False)
