@@ -31,8 +31,9 @@ class GlobBranchAndBound:
     def __init__(self, problem: Problem, env: Optional[Environment] = None):
         self.env = env or Environment()
         self.problem = problem
-        self.gs: GlobStaged = transform(problem)
         opts = self.env.options
+        self.gs: GlobStaged = transform(
+            problem, multilinear_hull=int(opts.get("multilinear_hull")))
         order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
                      opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)

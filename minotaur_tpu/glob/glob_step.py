@@ -88,6 +88,11 @@ def build_envelope_fn(gs: GlobStaged,
             parts_A.append(a)
             parts_lb.append(lo)
             parts_ub.append(hi)
+        if step_env.tri_rows is not None:
+            a, lo, hi = step_env.tri_rows(vlb, vub)
+            parts_A.append(a)
+            parts_lb.append(lo)
+            parts_ub.append(hi)
         if not parts_A:
             return (jnp.zeros((0, gs.n)), jnp.zeros(0), jnp.zeros(0))
         return (jnp.concatenate(parts_A, axis=0),
@@ -100,6 +105,7 @@ class _EnvHolder:
     envelopes = None
     uni_envelopes = None
     rlt_rows = None
+    tri_rows = None
 
 
 def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
@@ -118,6 +124,8 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
     m_rlt = 4 * rlt_cand.count if rlt_cand is not None else 0
     rlt_rows = build_rlt_rows_fn(rlt_cand, nz) if rlt_cand is not None \
         else None
+    n_t = gs.n_t
+    m_tri = 4 * n_t
     ti = jnp.asarray(gs.term_i.astype(np.int32))
     tj = jnp.asarray(gs.term_j.astype(np.int32))
     ty = jnp.asarray(gs.term_y.astype(np.int32))
@@ -142,13 +150,20 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
         fval, fder, frange, fback = make_uni_fns(gs.uni_f, gs.uni_k)
 
     # engine over the extended row space; env rows staged as free rows
-    m_extra = m_env + m_uenv + m_rlt
+    # the trilinear lambda-hull link rows are STATIC equalities (rhs 0)
+    # with traced coefficients: the IPM's equality-row classification
+    # happens at build time from these static clb/cub
+    m_extra = m_env + m_uenv + m_rlt + m_tri
     sp_ext = StagedProblem(
         name=gs.name, n=nz, m=m_base + m_extra, c=gs.c,
         obj_const=gs.obj_const, Qobj=None, obj_nl=None,
         A=np.vstack([gs.A, np.zeros((m_extra, nz))]),
-        clb=np.concatenate([gs.clb, np.full(m_extra, -np.inf)]),
-        cub=np.concatenate([gs.cub, np.full(m_extra, np.inf)]),
+        clb=np.concatenate([gs.clb,
+                            np.full(m_extra - m_tri, -np.inf),
+                            np.zeros(m_tri)]),
+        cub=np.concatenate([gs.cub,
+                            np.full(m_extra - m_tri, np.inf),
+                            np.zeros(m_tri)]),
         vlb=gs.vlb, vub=gs.vub, int_mask=gs.int_mask,
         nl_rows=np.zeros(0, np.int32), con_nl=None, nl_graphs=[])
     solve_one = build_single_solver(sp_ext, opts.ipm)
@@ -297,10 +312,52 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
         env_ub = jnp.where(ok_f & ~lower_f, rhs_f, jnp.inf)
         return env_A, env_lb, env_ub
 
+    # ---- trilinear lambda-hull link rows (static equalities) -----------
+    if n_t:
+        tv = jnp.asarray(gs.tri_vars.astype(np.int32))       # (T, 3)
+        tyy = np.asarray(gs.tri_y.astype(np.int64))
+        lam_cols = (gs.tri_lam0.astype(np.int64)[:, None] +
+                    np.arange(8)[None, :])                    # (T, 8)
+        bits = np.array([[(v >> i) & 1 for i in range(3)]
+                         for v in range(8)])                  # (8, 3)
+        bits_j = jnp.asarray(bits[None, :, :] == 1)
+        xrows = np.arange(n_t)[:, None] * 4 + np.arange(3)[None, :]
+        yrow = np.arange(n_t) * 4 + 3
+        lam_j = jnp.asarray(lam_cols)
+        xrows_j = jnp.asarray(xrows)
+        yrow_j = jnp.asarray(yrow)
+        tvar_np = gs.tri_vars.astype(np.int64)
+
+        tri_static = np.zeros((m_tri, nz))
+        tri_static[xrows.reshape(-1),
+                   tvar_np.reshape(-1)] += 1.0                # e_{x_i}
+        tri_static[yrow, tyy] += 1.0                          # e_y
+        tri_static_j = jnp.asarray(tri_static)
+
+        def tri_rows(vlb, vub):
+            """x_i = sum_v val_i(v) lam_v and y = sum_v prod(v) lam_v —
+            the exact convex hull of a trilinear monomial over the box
+            (vertex/lambda formulation).  Equality rhs 0 is static; only
+            the lambda coefficients depend on the box."""
+            lo = vlb[tv]                                      # (T, 3)
+            hi = vub[tv]
+            vals = jnp.where(bits_j, hi[:, None, :], lo[:, None, :])
+            prod = vals[:, :, 0] * vals[:, :, 1] * vals[:, :, 2]
+            tA = tri_static_j
+            for i in range(3):
+                tA = tA.at[xrows_j[:, i][:, None], lam_j].add(
+                    -vals[:, :, i])
+            tA = tA.at[yrow_j[:, None], lam_j].add(-prod)
+            zeros = jnp.zeros(m_tri)
+            return tA, zeros, zeros
+    else:
+        tri_rows = None
+
     if _env_out is not None:
         _env_out.envelopes = envelopes if n_y else None
         _env_out.uni_envelopes = uni_envelopes if n_u else None
         _env_out.rlt_rows = rlt_rows
+        _env_out.tri_rows = tri_rows
 
     def term_fbbt(vlb, vub, infeas):
         """Interval propagation through y = xi*xj both ways (reference
@@ -406,6 +463,11 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
             parts_A.append(rA)
             parts_lb.append(rlb)
             parts_ub.append(rub)
+        if m_tri:
+            tA, tlb, tub = tri_rows(vlb, vub)
+            parts_A.append(tA)
+            parts_lb.append(tlb)
+            parts_ub.append(tub)
         A = jnp.concatenate(parts_A, axis=0)
         clb = jnp.concatenate(parts_lb)
         cub = jnp.concatenate(parts_ub)

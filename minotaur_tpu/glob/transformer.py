@@ -64,15 +64,24 @@ class GlobStaged:
     uni_x: np.ndarray = None     # (n_u,) input column
     uni_y: np.ndarray = None     # (n_u,) output column
     uni_k: np.ndarray = None     # (n_u,) payload (exponent / base)
+    # trilinear lambda-hull groups (reference MultilinearTermsHandler):
+    # z[tri_y[t]] = prod over z[tri_vars[t]]; 8 lambda columns starting
+    # at tri_lam0[t] carry the extreme-point hull (sum-to-1 row is
+    # static in A; the box-dependent link rows are built in-trace)
+    tri_vars: np.ndarray = None  # (n_t, 3) factor columns
+    tri_y: np.ndarray = None     # (n_t,) product column
+    tri_lam0: np.ndarray = None  # (n_t,) first lambda column
 
     def __post_init__(self):
         if self.term_y is None:
             self.term_y = self.n_x + np.arange(self.n_y, dtype=np.int32)
-        for f in ("uni_f", "uni_x", "uni_y"):
+        for f in ("uni_f", "uni_x", "uni_y", "tri_y", "tri_lam0"):
             if getattr(self, f) is None:
                 setattr(self, f, np.zeros(0, dtype=np.int32))
         if self.uni_k is None:
             self.uni_k = np.zeros(0, dtype=np.float64)
+        if self.tri_vars is None:
+            self.tri_vars = np.zeros((0, 3), dtype=np.int32)
 
     @property
     def n(self) -> int:
@@ -81,6 +90,10 @@ class GlobStaged:
     @property
     def n_u(self) -> int:
         return len(self.uni_f)
+
+    @property
+    def n_t(self) -> int:
+        return len(self.tri_y)
 
 
 def is_convex_quadratic(problem: Problem, tol: float = 1e-9) -> bool:
@@ -165,6 +178,10 @@ class _Builder:
         self.extra_rows: List[Tuple[Dict[int, float], float, float]] = []
         self.bil_list: List[Tuple[int, int, int]] = []   # (i, j, ycol)
         self.uni_list: List[Tuple[int, int, int, float]] = []
+        # flat monomial factorization per product column (reference:
+        # MultilinearTermsHandler's term groups); used for lambda-hull
+        # formulations of higher-order multilinear terms
+        self.mono: Dict[int, Tuple[int, ...]] = {}
 
     # ------------------------------------------------------------ columns
     def _new_col(self, lo: float, hi: float) -> int:
@@ -191,6 +208,9 @@ class _Builder:
         y = self._new_col(lo, hi)
         self.bil[key] = y
         self.bil_list.append((key[0], key[1], y))
+        fi = self.mono.get(key[0], (key[0],))
+        fj = self.mono.get(key[1], (key[1],))
+        self.mono[y] = tuple(sorted(fi + fj))
         return y
 
     def uni_col(self, op: int, xcol: int, k: float = 0.0) -> int:
@@ -384,12 +404,22 @@ def _interval_div(alo, ahi, blo, bhi):
     return (min(cands), max(cands))
 
 
-def transform(problem: Problem) -> GlobStaged:
+def transform(problem: Problem,
+              multilinear_hull: int = 0) -> GlobStaged:
     """Build the (x, aux) standard form for spatial branch-and-bound.
 
     Quadratic terms map to bilinear/square auxiliaries (QuadTransformer
     path); general expression DAGs are walked recursively emitting
-    bilinear + univariate terms (SimpleTransformer path)."""
+    bilinear + univariate terms (SimpleTransformer path).
+
+    ``multilinear_hull`` > 0 additionally equips up to that many
+    trilinear monomials (flat products of 3 distinct finite-bounded
+    columns, tracked through the recursive binarization) with the exact
+    extreme-point lambda-hull (reference: MultilinearTermsHandler's
+    grouped convex hulls, built there by separation; here the hull is a
+    formulation — 8 lambda columns + link rows — so it needs no
+    separation loop and tightens automatically as branching shrinks the
+    box)."""
     n = problem.n_vars
     b = _Builder(problem)
 
@@ -422,6 +452,31 @@ def transform(problem: Problem) -> GlobStaged:
         if problem.obj.fun.nlf is not None and problem.obj.fun.nlf.root >= 0:
             obj_form = obj_form.plus(b.walk(problem.obj.fun.nlf))
     obj_const += obj_form.const
+
+    # trilinear lambda-hull groups: flat products of 3 distinct columns
+    # whose factors all have finite root bounds (children boxes only
+    # shrink, so in-trace hull coefficients stay finite forever)
+    tri_vars_l: List[Tuple[int, ...]] = []
+    tri_y_l: List[int] = []
+    tri_lam0_l: List[int] = []
+    if multilinear_hull > 0:
+        for y, facs in b.mono.items():
+            if len(tri_y_l) >= multilinear_hull:
+                break
+            if len(facs) != 3 or len(set(facs)) != 3:
+                continue
+            if not all(np.isfinite(b.vlb[v]) and np.isfinite(b.vub[v]) and
+                       abs(b.vlb[v]) < 1e8 and abs(b.vub[v]) < 1e8
+                       for v in facs):
+                continue
+            lam0 = len(b.vlb)
+            for _ in range(8):
+                b._new_col(0.0, 1.0)
+            b.extra_rows.append(
+                ({lam0 + v: 1.0 for v in range(8)}, 1.0, 1.0))
+            tri_vars_l.append(tuple(facs))
+            tri_y_l.append(y)
+            tri_lam0_l.append(lam0)
 
     nz = len(b.vlb)
     m = problem.n_cons + len(b.extra_rows)
@@ -460,4 +515,7 @@ def transform(problem: Problem) -> GlobStaged:
         obj_const=obj_const, A=A, clb=clb, cub=cub,
         vlb=np.asarray(b.vlb), vub=np.asarray(b.vub),
         int_mask=int_mask, term_i=term_i, term_j=term_j, term_y=term_y,
-        uni_f=uni_f, uni_x=uni_x, uni_y=uni_y, uni_k=uni_k)
+        uni_f=uni_f, uni_x=uni_x, uni_y=uni_y, uni_k=uni_k,
+        tri_vars=np.asarray(tri_vars_l, dtype=np.int32).reshape(-1, 3),
+        tri_y=np.asarray(tri_y_l, dtype=np.int32),
+        tri_lam0=np.asarray(tri_lam0_l, dtype=np.int32))
