@@ -18,14 +18,21 @@ import numpy as np
 
 def find_knapsack_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
                        int_mask: np.ndarray, vlb: np.ndarray,
-                       vub: np.ndarray) -> List[Tuple[int, np.ndarray, float]]:
+                       vub: np.ndarray,
+                       nl_rows=()) -> List[Tuple[int, np.ndarray, float]]:
     """Rows usable for cover cuts: finite ub, all-nonneg coefficients on
     binary variables only (reference: KnapsackList.cpp).  Returns
-    (row, var_indices, b)."""
+    (row, var_indices, b).
+
+    ``nl_rows`` MUST list the rows carrying a nonlinear part: their
+    linear coefficients alone do not bound the row, so treating them as
+    knapsacks yields invalid cuts (cover cuts there once pruned feasible
+    tls4 children as 'infeasible')."""
     out = []
+    skip = set(int(r) for r in nl_rows)
     is_bin = int_mask & (vlb >= -1e-9) & (vub <= 1.0 + 1e-9)
     for r in range(A.shape[0]):
-        if not np.isfinite(cub[r]):
+        if r in skip or not np.isfinite(cub[r]):
             continue
         nz = np.nonzero(A[r])[0]
         if len(nz) < 2:
@@ -197,15 +204,19 @@ def separate_lgci_cuts(knap_rows, gub_rows, x: np.ndarray,
 
 
 def find_gub_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
-                  int_mask: np.ndarray, vlb: np.ndarray, vub: np.ndarray
-                  ) -> List[Tuple[int, np.ndarray]]:
+                  int_mask: np.ndarray, vlb: np.ndarray, vub: np.ndarray,
+                  nl_rows=()) -> List[Tuple[int, np.ndarray]]:
     """Generalized-upper-bound rows: sum_{j in S} x_j <= 1 over binaries
     (reference: ProbStructure.{h,cpp} GUB detection, feeding the LGCI
-    generator).  Returns (row, var_indices)."""
+    generator).  Returns (row, var_indices).  Rows with a nonlinear part
+    (``nl_rows``) are never GUBs — their linear slice does not bound
+    them."""
     out = []
+    skip = set(int(r) for r in nl_rows)
     is_bin = int_mask & (vlb >= -1e-9) & (vub <= 1.0 + 1e-9)
     for r in range(A.shape[0]):
-        if not np.isfinite(cub[r]) or abs(cub[r] - 1.0) > 1e-12:
+        if r in skip or not np.isfinite(cub[r]) or \
+                abs(cub[r] - 1.0) > 1e-12:
             continue
         nz = np.nonzero(A[r])[0]
         if len(nz) < 2 or not np.all(is_bin[nz]):

@@ -109,14 +109,17 @@ class FeasibilityPump:
 
 
 def find_partition_rows(A: np.ndarray, clb: np.ndarray, cub: np.ndarray,
-                        int_mask: np.ndarray):
+                        int_mask: np.ndarray, nl_rows=()):
     """Rows of the form sum(binary vars) == k (set partition / cardinality)
     — the structure that naive rounding always breaks.  Returns a list of
-    (var_indices, k)."""
+    (var_indices, k).  Rows with a nonlinear part are excluded (their
+    linear slice is not the whole row)."""
     rows = []
+    skip = set(int(r) for r in nl_rows)
     m, n = A.shape
     for r in range(m):
-        if not (np.isfinite(clb[r]) and abs(clb[r] - cub[r]) <= 1e-12):
+        if r in skip or \
+                not (np.isfinite(clb[r]) and abs(clb[r] - cub[r]) <= 1e-12):
             continue
         k = clb[r]
         if abs(k - round(k)) > 1e-9 or k < 0:

@@ -118,12 +118,14 @@ class QGBranchAndBound(BranchAndBound):
         self._ecp_period = 2        # ECP fractional-cut cadence (0 = off)
         from .heuristics import find_partition_rows
         self._part_rows = find_partition_rows(sp.A, sp.clb, sp.cub,
-                                              sp.int_mask)
+                                              sp.int_mask, sp.nl_rows)
         from .cuts import find_gub_rows, find_knapsack_rows
         self._knap_rows = find_knapsack_rows(sp.A, sp.clb, sp.cub,
-                                             sp.int_mask, sp.vlb, sp.vub)
+                                             sp.int_mask, sp.vlb, sp.vub,
+                                             sp.nl_rows)
         self._gub_rows = find_gub_rows(sp.A, sp.clb, sp.cub,
-                                       sp.int_mask, sp.vlb, sp.vub)
+                                       sp.int_mask, sp.vlb, sp.vub,
+                                       sp.nl_rows)
         self._rng = np.random.default_rng(int(env.options.get("rand_seed")))
         from .persp import detect_perspective
         self._persp = detect_perspective(sp) \

@@ -99,3 +99,32 @@ def test_lgci_lifts_above_plain_cover():
     got = {int(v): float(c) for v, c in zip(vars_, coefs)}
     assert rhs == 2.0 and got[0] == 1 and got[1] == 1 and got[2] == 1
     assert got[3] == 2.0
+
+
+def test_nl_rows_never_knapsack_or_gub():
+    """Regression: a row with a nonlinear part must never feed the cover /
+    LGCI / partition generators — its linear slice alone does not bound
+    the row, so 'covers' derived from it cut off feasible points (this
+    once pruned feasible tls4 children as infeasible)."""
+    from minotaur_tpu.bnb.cuts import find_gub_rows
+    from minotaur_tpu.bnb.heuristics import find_partition_rows
+
+    # row 0: x0 + x1 + g(x) <= 1  (nonlinear -> must be skipped)
+    # row 1: 3x0 + 4x1 + 5x2 <= 6 (pure linear knapsack -> kept)
+    A = np.array([[1.0, 1.0, 0.0], [3.0, 4.0, 5.0]])
+    clb = np.array([-np.inf, -np.inf])
+    cub = np.array([1.0, 6.0])
+    int_mask = np.ones(3, bool)
+    vlb, vub = np.zeros(3), np.ones(3)
+    nl = np.array([0], np.int32)
+
+    knap = find_knapsack_rows(A, clb, cub, int_mask, vlb, vub, nl_rows=nl)
+    assert [row[0] for row in knap] == [1]
+    gubs = find_gub_rows(A, clb, cub, int_mask, vlb, vub, nl_rows=nl)
+    assert gubs == []
+
+    # partition: x0 + x1 == 1 with a nonlinear part is NOT a partition row
+    A2 = np.array([[1.0, 1.0, 0.0]])
+    eq = np.array([1.0])
+    assert find_partition_rows(A2, eq, eq, int_mask, nl_rows=nl) == []
+    assert len(find_partition_rows(A2, eq, eq, int_mask)) == 1
