@@ -113,6 +113,7 @@ class QGBranchAndBound(BranchAndBound):
         self._requeue_cap = 50
         self._heur_lanes_cap = 16   # rounding-dive lanes per superstep
         self._heur_cut_lanes = 4    # how many heur solutions also add cuts
+        self._feas_witness: Optional[np.ndarray] = None
         self._fp: Optional[object] = None
         self._fp_period = 12        # supersteps between pump attempts
         self._ecp_period = 2        # ECP fractional-cut cadence (0 = off)
@@ -279,18 +280,26 @@ class QGBranchAndBound(BranchAndBound):
 
     def _add_row_cut(self, r: int, xh: np.ndarray, gval: float,
                      grow: np.ndarray) -> int:
-        """One linearization cut of nonlinear row r at point xh."""
+        """One linearization cut of nonlinear row r at point xh.
+
+        ONE-SIDED, like the reference (QGHandler.cpp:104-108 only ever
+        emits (-inf, cUb - c]): under QG's convexity assumption the
+        gradient plane underestimates g, so only the ub side is a valid
+        cut.  Linearizing both sides of a two-sided/equality row stacks
+        near-equality hyperplanes from different points whose
+        intersection is empty — the master then reports CERTIFIED
+        infeasibility on a feasible problem (seen on minlp_eg0)."""
         sp = self.sp_orig
         coefs = np.zeros(self.sp.n)
         coefs[:sp.n] = sp.A[r] + grow
         shift = float(gval - grow @ xh)
-        lb = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
-        ub = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
-        if lb > ub - 1e-9 and np.isfinite(lb) and np.isfinite(ub):
-            # never create a dynamic equality cut row
-            lb -= 1e-8
-            ub += 1e-8
-        return int(self._add_cut(coefs, lb, ub))
+        if np.isfinite(sp.cub[r]):
+            return int(self._add_cut(coefs, -_INF, sp.cub[r] - shift))
+        if np.isfinite(sp.clb[r]):
+            # lb-only row (g >= lb, g concave under the QG assumption):
+            # the gradient plane overestimates g, so >= its lb is valid
+            return int(self._add_cut(coefs, sp.clb[r] - shift, _INF))
+        return 0
 
     def _cut_rows_at(self, pts: np.ndarray, valid: np.ndarray) -> int:
         """Per-row cuts: point k linearizes ONLY nonlinear row k (used by
@@ -354,7 +363,36 @@ class QGBranchAndBound(BranchAndBound):
         st = self._qg_root()
         if st is not None:
             return st
-        return super().solve()
+        st = super().solve()
+        if st == SolveStatus.SOLVED_INFEASIBLE and \
+                self._feas_witness is not None and \
+                self._witness_violates_pool(self._feas_witness):
+            # A point feasible for the continuous NLP relaxation violates
+            # the cut pool: the cuts are NOT valid for this model (it
+            # breaks QG's convexity assumption), so neither is the
+            # infeasibility conclusion built on them.  Report FINISHED
+            # (unknown) instead of a wrong infeasibility claim.
+            self._log.error(
+                "cut pool cuts off a known NLP-feasible point: the model "
+                "is NONCONVEX and QG linearizations are invalid for it. "
+                "Result is inconclusive — re-run with mglob (global "
+                "solver).")
+            self.status = SolveStatus.FINISHED
+            st = self.status
+        return st
+
+    def _witness_violates_pool(self, xw: np.ndarray) -> bool:
+        """True iff a continuous-relaxation-feasible point violates some
+        cut row (with eta set to its true objective value) — the runtime
+        signature of an invalid (nonconvex-model) linearization."""
+        z = np.zeros(self.sp.n)
+        z[:self.sp_orig.n] = xw
+        if self.has_eta:
+            z[self.sp_orig.n] = float(self.problem.eval_objective(xw))
+        ax = self.mA[self._cut_base:] @ z
+        tol = 1e-6 * (1.0 + np.abs(ax))
+        return bool(np.any(ax > self.mcub[self._cut_base:] + tol) or
+                    np.any(ax < self.mclb[self._cut_base:] - tol))
 
     def _qg_root(self) -> Optional[SolveStatus]:
         """Root continuous NLP + initial linearization (initLinear_).
@@ -366,8 +404,17 @@ class QGBranchAndBound(BranchAndBound):
         status = int(res.status[0])
         x0 = np.asarray(res.x[0])
         if status == EngineStatus.SOLVED_INFEASIBLE:
-            self.status = SolveStatus.SOLVED_INFEASIBLE
-            return self.status
+            # The engine marks certificate-backed infeasibility (empty box
+            # or Farkas ray on the linear rows) with dual_bound = +BIG; an
+            # NLP lane can also report INFEASIBLE heuristically (mu
+            # collapse at a locally-infeasible stationary point of a
+            # NONCONVEX model), which proves nothing about the problem.
+            # Only the certified kind may declare global infeasibility;
+            # the heuristic kind falls through to the multistart rescue.
+            if float(res.dual_bound[0]) > 1e15:
+                self.status = SolveStatus.SOLVED_INFEASIBLE
+                return self.status
+            status = EngineStatus.ITERATION_LIMIT
         if status == EngineStatus.ITERATION_LIMIT:
             # root NLP stalled (locally-infeasible stationary point or
             # nonconvex cycling): rescue with one vmapped multistart batch
@@ -380,10 +427,15 @@ class QGBranchAndBound(BranchAndBound):
             self.qg_stats.nlp_solves += info["n_starts"]
             if bx is not None:
                 x0 = bx
+                self._feas_witness = bx
                 self._log.info(
                     f"root NLP stalled; multistart rescue found a point "
                     f"(obj {bobj:.8g}, {info['n_feasible']}/"
                     f"{info['n_starts']} feasible lanes)")
+        if status == EngineStatus.SOLVED_OPTIMAL and \
+                np.all(np.isfinite(x0)) and \
+                self.problem.is_feasible(x0, atol=1e-5, int_tol=_INF):
+            self._feas_witness = x0.copy()
         if status in (EngineStatus.SOLVED_OPTIMAL,
                       EngineStatus.ITERATION_LIMIT):
             self._cuts_at(x0[None, :])
