@@ -70,3 +70,80 @@ def test_checkpoint_resume():
 def test_multistart_demo():
     bab = _load("multistart_demo").main(log_level=1)
     assert bab.ub <= -0.95
+
+
+def test_expr_dag_demo():
+    val, grad, (nlo, nhi) = _load("expr_dag_demo").main(log=False)
+    import numpy as np
+    assert val == pytest.approx(np.exp(0.5) + 2.0, abs=1e-10)
+    assert grad[2] == pytest.approx(0.5, abs=1e-10)
+
+
+def test_root_relaxation():
+    obj0, obj1 = _load("root_relaxation").main(log=False)
+    # nvs08 continuous relaxation; the down-branch can only raise the bound
+    assert obj0 == pytest.approx(21.72254, abs=1e-4)
+    assert obj1 >= obj0 - 1e-7
+
+
+def test_custom_brancher():
+    results = _load("custom_brancher").main(node_batch=8, log=False)
+    ubs = {rule: ub for rule, (ub, _) in results.items()}
+    assert set(results) == {"maxvio", "lexico", "random"}
+    # every rule must land on the same optimum
+    assert max(ubs.values()) - min(ubs.values()) < 1e-5
+
+
+def test_qpdive_demo():
+    cands = _load("qpdive_demo").main(log=False)
+    assert cands, "QP diving found no feasible candidate"
+    x, val = cands[0]
+    import numpy as np
+    assert np.isfinite(val)
+
+
+def test_rlt_demo():
+    out = _load("rlt_demo").main(log=False)
+    # RLT cuts strictly lift the root dual bound on this model
+    assert out[(12, 1)][1] > out[(0, 1)][1] + 0.5
+    assert out[(12, 30)][1] >= out[(0, 30)][1] - 1e-6
+
+
+def test_quad_socp():
+    bab = _load("quad_socp").main(node_batch=4, log=False)
+    assert bab.ub == pytest.approx(-4.0, abs=1e-5)
+
+
+def test_bilinear_demo():
+    bab = _load("bilinear_demo").main(node_batch=8, log=False)
+    assert bab.ub < 1e19
+    assert bab.lb <= bab.ub + 1e-6
+
+
+def test_water_network():
+    bab = _load("water_network").main(log=False)
+    # Haverly pooling: global optimum profit 400; lb must stay sound
+    assert bab.lb <= -400.0 + 1e-4
+    assert bab.ub == pytest.approx(-400.0, abs=1e-3)
+
+
+def test_benders_demo():
+    import numpy as np
+    mod = _load("benders_demo")
+    y, cost = mod.main(log=False)
+    # brute-force the tiny instance with the demo's own subproblem pricer
+    from minotaur_tpu.engines.ipm import build_batch_solver
+    sub = mod._build_sub()
+    solve = build_batch_solver(sub)
+    nf = len(mod.F_COST)
+    best = np.inf
+    for mask in range(2 ** nf):
+        yy = np.array([(mask >> i) & 1 for i in range(nf)], float)
+        tot = float(mod.F_COST @ yy)
+        for s in range(len(mod.PROBS)):
+            clb = np.concatenate([mod.DEMANDS[s], -mod.CAP * yy])
+            r = solve(sub.A, clb, sub.cub, sub.vlb[None, :],
+                      sub.vub[None, :])
+            tot += float(mod.PROBS[s]) * float(r.obj[0])
+        best = min(best, tot)
+    assert cost == pytest.approx(best, rel=1e-5)
