@@ -417,7 +417,8 @@ class BranchAndBound:
                             cvub[j] = 0.0
                     children.append(Node(
                         nid=next_id + side, depth=node.depth + 1,
-                        lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy()))
+                        lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy(),
+                        vio_val=node.vio_val))
                 node.status = NodeStatus.BRANCHED
                 self.tm.branch(children, node)
                 return next_id + 2
@@ -500,7 +501,7 @@ class BranchAndBound:
             children.append(Node(
                 nid=next_id + side, depth=node.depth + 1, lb=child_bound,
                 vlb=cvlb, vub=cvub, warm_x=x.copy(), branch_var=bvar,
-                branch_dir=side, branch_frac=frac))
+                branch_dir=side, branch_frac=frac, vio_val=node.vio_val))
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2

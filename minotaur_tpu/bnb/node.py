@@ -31,6 +31,8 @@ class Node:
     branch_dir: int = 0             # 0 = down child, 1 = up child
     branch_frac: float = 0.0        # |LP value - imposed bound| at parent
     tb_score: float = 0.0           # tie-break / requeue counter
+    vio_val: float = float("inf")   # parent's nl-violation score (QG ECP
+    #                                 gating; reference Node::setVioVal)
 
     def __lt__(self, other: "Node") -> bool:  # heap ordering fallback
         return self.lb < other.lb

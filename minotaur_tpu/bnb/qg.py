@@ -117,6 +117,7 @@ class QGBranchAndBound(BranchAndBound):
         self._fp: Optional[object] = None
         self._fp_period = 12        # supersteps between pump attempts
         self._ecp_period = 2        # ECP fractional-cut cadence (0 = off)
+        self._max_vio_per = float(env.options.get("max_vio_per"))
         from .heuristics import find_partition_rows
         self._part_rows = find_partition_rows(sp.A, sp.clb, sp.cub,
                                               sp.int_mask, sp.nl_rows)
@@ -580,6 +581,42 @@ class QGBranchAndBound(BranchAndBound):
         if done.any():
             self._try_fixint_incumbents(x[done])
 
+    def _vio_gated_lanes(self, batch: List[Node], xs: np.ndarray,
+                         lanes: List[int]) -> List[int]:
+        """Violation-score ECP gating (QGHandlerAdvance.cpp:2803-2871).
+
+        Each candidate node gets a score = mean relative violation of its
+        nonlinear rows at the LP point; the score is stored on the node
+        (children inherit it as their parent score), and a lane passes
+        the gate when score >= max_vio_per * |parent score + 1e-3| with a
+        finite parent score — i.e. cuts go where violations persist or
+        grow down the tree."""
+        sp = self.sp_orig
+        n = sp.n
+        pts = np.stack([xs[i][:n] for i in lanes])
+        out = self._cut_gen(pts)
+        gval = np.asarray(out["g"])                   # (L, K) nl parts
+        act = pts @ sp.A[sp.nl_rows].T + gval         # row activities
+        ub_r = sp.cub[sp.nl_rows][None, :]
+        lb_r = sp.clb[sp.nl_rows][None, :]
+        vio = np.maximum(
+            np.where(np.isfinite(ub_r), act - ub_r, 0.0),
+            np.where(np.isfinite(lb_r), lb_r - act, 0.0))
+        scale = np.maximum(np.maximum(np.abs(ub_r), np.abs(lb_r)), 1.0)
+        rel = np.where(vio > 1e-6, vio / scale, 0.0)
+        n_vio = (rel > 0).sum(axis=1)
+        scores = np.where(n_vio > 0, rel.sum(axis=1) / np.maximum(n_vio, 1),
+                          0.0)
+        passed = []
+        for k, i in enumerate(lanes):
+            node = batch[i]
+            parent_score = node.vio_val
+            node.vio_val = float(scores[k])
+            if n_vio[k] and np.isfinite(parent_score) and \
+                    scores[k] >= self._max_vio_per * abs(parent_score + 1e-3):
+                passed.append(i)
+        return passed
+
     def _handle_batch(self, batch: List[Node], res, next_id: int,
                       seen: Optional[set] = None) -> int:
         status = np.asarray(res.status)
@@ -598,13 +635,25 @@ class QGBranchAndBound(BranchAndBound):
         # QGHandlerAdvance cutMethod_="ecp", QGHandlerAdvance.cpp:75):
         # gradient cuts are valid anywhere for convex bodies and lift the
         # eta bound without waiting for integral solutions
-        if self._ecp_period and self.stats.batches % self._ecp_period == 0:
-            ecp_pts = [xs[i][:n] for i in range(min(len(batch), 4))
-                       if status[i] == EngineStatus.SOLVED_OPTIMAL
-                       and not int_feas[i]
-                       and np.all(np.isfinite(xs[i][:n]))]
-            if ecp_pts:
-                self._cuts_at(np.stack(ecp_pts))
+        frac_lanes = [i for i in range(len(batch))
+                      if status[i] == EngineStatus.SOLVED_OPTIMAL
+                      and not int_feas[i]
+                      and np.all(np.isfinite(xs[i][:n]))]
+        if self._max_vio_per > 0 and len(sp.nl_rows) and \
+                sp.con_nl is not None and frac_lanes:
+            # violation-gated ECP (QGHandlerAdvance.cpp:2803-2871): score
+            # a node by the mean relative violation of its nl rows at the
+            # LP point; cut only when it is >= max_vio_per x the parent's
+            # score (violations growing down the tree = cuts pay off)
+            ecp_pts = [xs[i][:n] for i in
+                       self._vio_gated_lanes(batch, xs, frac_lanes)[:4]]
+        elif self._ecp_period and \
+                self.stats.batches % self._ecp_period == 0:
+            ecp_pts = [xs[i][:n] for i in frac_lanes[:4]]
+        else:
+            ecp_pts = []
+        if ecp_pts:
+            self._cuts_at(np.stack(ecp_pts))
 
         # knapsack cover cuts from a few fractional LP points (reference:
         # KnapCovHandler separation)

@@ -83,6 +83,10 @@ def _create_default_options(db: OptionDB) -> None:
     # --- QG / cuts -----------------------------------------------------
     ins("qg_max_cuts", int, "capacity of the preallocated QG cut pool", 2048)
     ins("cut_pool_capacity", int, "capacity of the general cut pool", 4096)
+    ins("max_vio_per", float, "QG ECP cut gating: add fractional-point "
+        "cuts only when the node's nl-violation score is >= this multiple "
+        "of its parent's (reference QGHandlerAdvance maxVioPer; typical "
+        "0.5/1/2/5; 0 = cadence-based ECP instead)", 0.0)
     ins("root_linearizations", str, "extra root linearization scheme for QG: "
         "esh (supporting hyperplanes via analytic-center bisection), sample "
         "(gradient cuts at interior samples), both, or off "

@@ -64,3 +64,39 @@ def test_timer_cpu_wall():
     sum(i * i for i in range(200000))
     assert t.query_cpu() > 0.0
     assert t.query_wall() >= t.query_cpu() * 0.1
+
+
+def test_qg_violation_gated_ecp():
+    """max_vio_per > 0 switches ECP cuts to violation-score gating
+    (reference QGHandlerAdvance maxVioPer): same optimum, never MORE
+    cuts than the cadence mode, and nodes carry inherited scores."""
+    import numpy as np
+    from minotaur_tpu.bnb.qg import QGBranchAndBound
+    from minotaur_tpu.ir.functions import Function, LinearFunction, \
+        QuadraticFunction
+    from minotaur_tpu.ir.problem import Problem
+    from minotaur_tpu.utils.types import VarType
+
+    def build():
+        p = Problem("vio-gate")
+        for _ in range(3):
+            p.new_variable(0.0, 4.0, vtype=VarType.INTEGER)
+        qf = QuadraticFunction()
+        for i in range(3):
+            qf.add_term(i, i, 1.0)
+        p.new_constraint(Function(qf=qf), -np.inf, 11.0)
+        p.new_objective(Function(lf=LinearFunction(
+            {0: -1.0, 1: -1.3, 2: -0.7})))
+        return p
+
+    results = {}
+    for mvp in (0.0, 1.0):
+        env = Environment()
+        env.set_option("log_level", 1)
+        env.set_option("max_vio_per", mvp)
+        env.set_option("bnb_node_limit", 600)
+        bab = QGBranchAndBound(build(), env)
+        bab.solve()
+        results[mvp] = (bab.ub, bab.qg_stats.cuts_added)
+    assert results[0.0][0] == pytest.approx(results[1.0][0], abs=1e-6)
+    assert results[1.0][1] <= results[0.0][1]
