@@ -114,14 +114,17 @@ def refined_spd_solve_f32(minv_s, m_op, dinv, shift_vec, r,
     r_p = jnp.pad(r.astype(jnp.float32), (0, pad))[None, :]
 
     call = _build_kernel(n_pad, refine_steps, interpret)
-    # under jax_enable_x64, pallas internal index bookkeeping traces to
-    # i64, which Mosaic cannot legalize ("func.return ... i64") — the
-    # kernel itself is all-f32, so trace it in an x64-disabled scope
+    # under jax_enable_x64, the vmap batching rule for pallas_call builds
+    # i64 grid bookkeeping, which Mosaic cannot legalize ("func.return
+    # ... i64") on a real TPU — the kernel itself is all-f32, so trace it
+    # in an x64-disabled scope (jax.enable_x64(False) is the jax>=0.8
+    # spelling; jax.experimental.enable_x64 the older one)
     import jax
     try:
+        ctx = jax.enable_x64(False)
+    except AttributeError:
         from jax.experimental import enable_x64
-        with enable_x64(False):
-            out = call(minv_p, m_p, dinv_p, shift_p, r_p)
-    except ImportError:
+        ctx = enable_x64(False)
+    with ctx:
         out = call(minv_p, m_p, dinv_p, shift_p, r_p)
     return out[0, :n]
