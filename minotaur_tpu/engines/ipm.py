@@ -59,8 +59,15 @@ class IPMOptions:
     # (certified bounds / residual-based statuses); only convergence speed
     # could suffer on ill-conditioned lanes.
     factor_f32: bool = True
-    refine_steps: int = 3
-    kkt_rounds: int = 2         # KKT-level defect-correction rounds (f32)
+    # refinement depth: every refine step costs an f64 apply (emulated
+    # ~20x on TPU) and every kkt round costs a full refined re-solve, so
+    # these multiply.  Measured on the v5e (64-lane color_lab batch,
+    # mixed fixed-var boxes): (3,2) 20.7s, (1,1) 6.5s per superstep with
+    # identical converged-lane counts and certified-bound gaps — the
+    # certificates make deeper correction a speed knob, not a soundness
+    # one.  The f32 TAIL has its own deeper budget (tail_kkt_rounds).
+    refine_steps: int = 1
+    kkt_rounds: int = 1         # KKT-level defect-correction rounds (f32)
     use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
     # keep the f32 factorization in the TAIL phase too (with deeper
     # defect correction) instead of switching to f64 Cholesky — on TPU
@@ -119,14 +126,20 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
     dmax = jnp.maximum(jnp.max(jnp.abs(diag), initial=0.0), 1e-30)
     d = jnp.sqrt(jnp.clip(diag, 1e-12 * dmax, None))
     dinv = 1.0 / d
-    Ms = M * dinv[:, None] * dinv[None, :]
 
     if use_f32 is None:
         use_f32 = opts.factor_f32
 
+    if use_f32:
+        # scale AFTER the f32 cast: full-matrix f64 elementwise passes are
+        # emulated (~20x) on TPU and the factorization is f32 anyway —
+        # only apply_eff below needs the true f64 operator
+        dinv_f = dinv.astype(jnp.float32)
+        Ms = M.astype(jnp.float32) * dinv_f[:, None] * dinv_f[None, :]
+    else:
+        Ms = M * dinv[:, None] * dinv[None, :]
+
     def chol(mat):
-        if use_f32:
-            return jnp.linalg.cholesky(mat.astype(jnp.float32))
         return jnp.linalg.cholesky(mat)
 
     L1 = chol(Ms)
@@ -202,7 +215,11 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
             return (jnp.where(better, x2, x), jnp.where(better, res2, res),
                     jnp.minimum(nrm2, nrm))
 
-        steps = opts.refine_steps + (1 if use_f32 else 0)
+        # f64 factorizations (NLP path) keep a deeper floor: explicit-
+        # inverse solves err at ~kappa*eps even in f64, and one round is
+        # not enough on ill-conditioned fixed-variable KKTs
+        steps = opts.refine_steps + 1 if use_f32 \
+            else max(opts.refine_steps, 3)
         x, _, _ = jax.lax.fori_loop(0, steps, refine_body, (x, res, nrm))
         return x
 
