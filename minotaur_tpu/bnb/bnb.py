@@ -550,7 +550,7 @@ class BranchAndBound:
         xr[self.sp.int_mask] = np.round(xr[self.sp.int_mask])
         cands.append(xr)
         parts = find_partition_rows(self.sp.A, self.sp.clb, self.sp.cub,
-                                    self.sp.int_mask)
+                                    self.sp.int_mask, self.sp.nl_rows)
         if parts:
             rng = np.random.default_rng(0)
             for noise in (0.0, 0.2, 0.4):
