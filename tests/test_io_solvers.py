@@ -149,3 +149,29 @@ def test_cli_option_parsing():
     assert env.options.get("bnb_time_limit") == pytest.approx(12.0)
     assert env.options.get("int_tol") == pytest.approx(1e-5)
     assert env.options.get("presolve") is False
+
+
+def test_mlstoa_cli():
+    """Single-tree lazy-cut OA entry (LSTOA.cpp parity): runs the QG
+    stack with violation-gated cuts enabled by default."""
+    from minotaur_tpu.solvers.mlstoa import main
+    rc = main([os.path.join(REF_INSTANCES, "minlp_eg0.nl"),
+               "--log_level", "1", "--bnb_node_limit", "400"])
+    assert rc == 0
+
+
+def test_mqgpar_cli():
+    """QGPar parity: --threads maps onto the node-batch axis."""
+    from minotaur_tpu.solvers.mqgpar import main
+    rc = main([os.path.join(REF_INSTANCES, "milp.nl"),
+               "--log_level", "1", "--threads", "4"])
+    assert rc == 0
+
+
+def test_msbnb_cli():
+    """MsBnb parity: in-tree multistart node processing."""
+    from minotaur_tpu.solvers.msbnb import main
+    rc = main([os.path.join(REF_TEST_INSTANCES, "nvs08.nl"),
+               "--log_level", "1", "--msbnb_restarts", "2",
+               "--bnb_node_limit", "200"])
+    assert rc == 0
