@@ -238,7 +238,8 @@ class BranchAndBound:
             vlb_b = np.stack([nd.vlb for nd in batch])
             vub_b = np.stack([nd.vub for nd in batch])
             x0_b = self._lane_starts(batch)
-            res = self._run_step(vlb_b, vub_b, x0_b)
+            y0_b = self._lane_duals(batch)
+            res = self._run_step(vlb_b, vub_b, x0_b, y0_b)
             self.stats.batches += 1
             self.stats.solves += B
 
@@ -289,14 +290,23 @@ class BranchAndBound:
         return np.stack([nd.warm_x if nd.warm_x is not None
                          else np.zeros(n) for nd in batch])
 
-    def _run_step(self, vlb_b, vub_b, x0_b):
+    def _lane_duals(self, batch: List[Node]) -> np.ndarray:
+        """Dual warm-start vector per lane (parent row duals or zeros)."""
+        m = self.sp.m
+        return np.stack([nd.warm_y if nd.warm_y is not None
+                         and nd.warm_y.shape[0] == m
+                         else np.zeros(m) for nd in batch])
+
+    def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
         if self._dev_consts is None:
             import jax.numpy as jnp
             self._dev_consts = (jnp.asarray(self.sp.A),
                                 jnp.asarray(self.sp.clb),
                                 jnp.asarray(self.sp.cub))
         A, clb, cub = self._dev_consts
-        return self._step(A, clb, cub, vlb_b, vub_b, x0_b)
+        if y0_b is None:
+            y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
+        return self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
 
     # ---------------------------------------------------------- per batch
     def _handle_batch(self, batch: List[Node], res, next_id: int,
@@ -317,6 +327,7 @@ class BranchAndBound:
         kkt = np.asarray(res.kkt_err) if hasattr(res, "kkt_err") else             np.full(len(batch), np.inf)
         if self._is_lp_relax and self.ub < _INF and hasattr(res, "y"):
             self._rc_fix(xs, np.asarray(res.y), db, status, nvlb, nvub)
+        ys = np.asarray(res.y) if hasattr(res, "y") else None
         if seen is None:
             seen = set()
         for i, node in enumerate(batch):
@@ -324,6 +335,7 @@ class BranchAndBound:
                 continue  # padding duplicate
             seen.add(id(node))
             self._lane_kkt = float(kkt[i]) if i < len(kkt) else np.inf
+            self._lane_y = ys[i] if ys is not None else None
             next_id = self._process_result(
                 node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
                 int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
@@ -418,7 +430,7 @@ class BranchAndBound:
                     children.append(Node(
                         nid=next_id + side, depth=node.depth + 1,
                         lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy(),
-                        vio_val=node.vio_val))
+                        warm_y=self._lane_warm_y(), vio_val=node.vio_val))
                 node.status = NodeStatus.BRANCHED
                 self.tm.branch(children, node)
                 return next_id + 2
@@ -500,11 +512,18 @@ class BranchAndBound:
                 frac = max(lo + 1 - bval, 0.0)
             children.append(Node(
                 nid=next_id + side, depth=node.depth + 1, lb=child_bound,
-                vlb=cvlb, vub=cvub, warm_x=x.copy(), branch_var=bvar,
+                vlb=cvlb, vub=cvub, warm_x=x.copy(),
+                warm_y=self._lane_warm_y(), branch_var=bvar,
                 branch_dir=side, branch_frac=frac, vio_val=node.vio_val))
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
+
+    def _lane_warm_y(self) -> Optional[np.ndarray]:
+        """Row duals of the lane currently being processed (children
+        inherit them as dual warm starts)."""
+        y = getattr(self, "_lane_y", None)
+        return None if y is None else np.array(y, dtype=np.float64)
 
     def _accept_incumbent(self, x: np.ndarray, val: float) -> bool:
         """Record a feasible solution: pool it (best-k), and if it beats

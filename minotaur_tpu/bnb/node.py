@@ -26,6 +26,10 @@ class Node:
     vlb: np.ndarray                 # (n,) variable lower bounds
     vub: np.ndarray                 # (n,)
     warm_x: Optional[np.ndarray] = None   # parent relaxation solution
+    warm_y: Optional[np.ndarray] = None   # parent row duals (dual warm
+    #                                       start; IPM analogue of the
+    #                                       reference's warm-started
+    #                                       resolves, OsiLPEngine.cpp:591)
     status: NodeStatus = NodeStatus.NOT_PROCESSED
     branch_var: int = -1            # var whose branch created this node
     branch_dir: int = 0             # 0 = down child, 1 = up child

@@ -128,9 +128,12 @@ class _MasterMILP(BranchAndBound):
         self.ub = oa.ub                       # incumbent as cutoff only
         self.best_x = None
 
-    def _run_step(self, vlb_b, vub_b, x0_b):
+    def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
+        import numpy as np
+        if y0_b is None:
+            y0_b = np.zeros((vlb_b.shape[0], self._oa.mA.shape[0]))
         return self._step(self._oa.mA, self._oa.mclb, self._oa.mcub,
-                          vlb_b, vub_b, x0_b)
+                          vlb_b, vub_b, x0_b, y0_b)
 
     def _root_presolve(self):
         return None   # master bounds already tightened by the OA driver

@@ -463,7 +463,7 @@ class QGBranchAndBound(BranchAndBound):
     def _master_arrays(self):
         return self.mA, self.mclb, self.mcub
 
-    def _run_step(self, vlb_b, vub_b, x0_b):
+    def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
         # device copies of the master arrays, refreshed only when the cut
         # pool changed (cheap bookkeeping beats re-uploading every step)
         if getattr(self, "_dev_cut_version", -1) != self.n_cuts:
@@ -472,7 +472,9 @@ class QGBranchAndBound(BranchAndBound):
                                 jnp.asarray(self.mcub))
             self._dev_cut_version = self.n_cuts
         A, clb, cub = self._dev_consts
-        return self._step(A, clb, cub, vlb_b, vub_b, x0_b)
+        if y0_b is None:
+            y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
+        return self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
 
     def _try_fixint_incumbents(self, x_master_batch: np.ndarray) -> None:
         """Fix integers at the given master-space points, solve the NLPs,

@@ -37,6 +37,8 @@ class StepResult(NamedTuple):
     y: "jnp.ndarray"            # (B, m) row duals (for rc fixing/cuts)
     kkt_err: "jnp.ndarray"      # (B,) engine KKT error (acceptable-level
                                 # decisions, reference Ipopt acceptable_tol)
+    iters: "jnp.ndarray"        # (B,) engine iterations (profiling / warm-
+                                # start diagnostics)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,13 +121,13 @@ def build_node_step_unjitted(sp: StagedProblem,
     has_ints = bool(sp.int_mask.any())
     fbbt_round = build_fbbt_sweep(sp, opts.int_tol)
 
-    def step_one(A, clb, cub, vlb, vub, x0):
+    def step_one(A, clb, cub, vlb, vub, x0, y0=None):
         infeas = jnp.asarray(False)
         for _ in range(opts.fbbt_rounds):
             vlb, vub, infeas = fbbt_round(A, clb, cub, vlb, vub, infeas)
         # keep the box sane for the solver even if infeasible (masked later)
         svlb = jnp.where(vlb > vub, vub, vlb)
-        res = solve_one(A, clb, cub, svlb, vub, x0)
+        res = solve_one(A, clb, cub, svlb, vub, x0, y0)
 
         if has_ints:
             frac = jnp.where(int_mask,
@@ -152,7 +154,7 @@ def build_node_step_unjitted(sp: StagedProblem,
             int_feasible=int_feas & ~infeas, branch_var=bvar,
             branch_val=res.x[jnp.maximum(bvar, 0)], max_frac=max_frac,
             new_vlb=vlb, new_vub=vub, fbbt_infeas=infeas, frac=frac,
-            y=res.y, kkt_err=res.kkt_err)
+            y=res.y, kkt_err=res.kkt_err, iters=res.iters)
 
     return step_one
 
@@ -166,8 +168,8 @@ def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
     step_one = build_node_step_unjitted(sp, opts)
 
     @functools.partial(jax.jit)
-    def step(A, clb, cub, vlb_b, vub_b, x0_b):
-        return jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0))(
-            A, clb, cub, vlb_b, vub_b, x0_b)
+    def step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b):
+        return jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0, 0))(
+            A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
 
     return step

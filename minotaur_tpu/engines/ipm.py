@@ -88,6 +88,19 @@ class IPMOptions:
     # Ipopt's acceptable_tol; certified LP/QP dual bounds are computed
     # from the duals regardless, so pruning stays sound.
     tail_tol: float = 1e-5
+    # run the PHASE-1 iteration arithmetic (residuals, KKT build, defect
+    # correction, line-search trials) entirely in f32: phase 1 only
+    # targets a 1e-4 KKT error and TPU f64 is emulated at matrix scale
+    # (~20-50x), so the f64 passes were pure overhead.  Soundness is
+    # unaffected — certificates and final statuses are (re)computed in
+    # f64 after the loop, and a Farkas exit raised from f32 arithmetic
+    # must be confirmed by the f64 certificate before a lane is declared
+    # infeasible.
+    light_phase1: bool = True
+    # compute the TAIL's block-level defect-correction residuals in f32
+    # too (floors the correction near 1e-7 relative instead of ~1e-9;
+    # fine for tail_tol=1e-5 but kept off until measured)
+    tail_corr_f32: bool = False
 
 
 class IPMResult(NamedTuple):
@@ -111,13 +124,19 @@ def _max_step(jnp, v, dv, tau, mask):
     return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
 
 
-def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
+def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
+                     out_dtype=None):
     """SPD solve M x = r with optional f32 factorization.
 
     Jacobi-equilibrates M (the barrier's ill-conditioning is mostly
-    diagonal), Cholesky-factorizes in f32, and refines each solve in f64
-    against the ORIGINAL M.  Falls back to a Gershgorin-shifted retry if
-    the factorization produces non-finite values (inertia correction).
+    diagonal), Cholesky-factorizes in f32, and refines each solve
+    against the operator M in M's OWN dtype (pass M in f32 to keep the
+    whole refinement emulated-f64-free; block-level defect correction at
+    the KKT level recovers accuracy against the true operator).  Falls
+    back to a Gershgorin-shifted retry if the factorization produces
+    non-finite values (inertia correction).  Solves return `out_dtype`
+    (default M.dtype); pass f64 when corrections must ACCUMULATE below
+    f32 resolution (the IPM tail).
     Returns (solve, bad_flag)."""
     k = M.shape[0]
     # Jacobi scaling clamped so indefinite inputs (negative diagonals from
@@ -164,12 +183,18 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
     # and make every subsequent solve a pure MXU matmul.
     Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
 
+    if out_dtype is None:
+        out_dtype = M.dtype
+    dinv_m = dinv.astype(M.dtype)
+
     def base_solve(r):
-        # scaled solve in factor dtype; handles vector or matrix rhs
+        # scaled solve in factor dtype; handles vector or matrix rhs.
+        # All arithmetic stays in M's dtype — the caller chooses f32 to
+        # avoid emulated-f64 matvecs (TPU).
         rr = r if r.ndim == 2 else r[:, None]
-        u = (rr * dinv[:, None]).astype(L.dtype)
+        u = (rr.astype(M.dtype) * dinv_m[:, None]).astype(L.dtype)
         v = Minv_s @ u
-        out = v.astype(M.dtype) * dinv[:, None]
+        out = v.astype(M.dtype) * dinv_m[:, None]
         return out if r.ndim == 2 else out[:, 0]
 
     def apply_eff(x):
@@ -191,25 +216,28 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
                 return solve_xla(r)
             x = refined_spd_solve_f32(Minv_s, M, dinv, shift_vec, r,
                                       refine_steps=2, interpret=_interp)
-            return x.astype(M.dtype)
+            return x.astype(out_dtype)
 
     def solve_xla(r):
-        # Refinement needed in BOTH dtypes now that solves go through an
-        # explicit inverse (error ~ kappa*eps instead of backward-stable),
-        # and MONOTONE: on indefinite-but-factorizable matrices (nonconvex
+        # Refinement needed now that solves go through an explicit
+        # inverse (error ~ kappa*eps instead of backward-stable), and
+        # MONOTONE: on indefinite-but-factorizable matrices (nonconvex
         # Lagrangians whose Cholesky happens to succeed) naive refinement
         # diverges — keep a correction only if the residual norm drops.
+        # All refinement arithmetic runs in M's dtype: the caller passes
+        # M in f32 to keep this loop off the emulated-f64 path.
         # fori_loop (not unrolled): the loop body is large and appears at
         # every solve site — unrolling made device programs take >30 min
         # to compile through the remote-compile tunnel.
-        x = base_solve(r)
-        res = r - apply_eff(x)           # f64 matmul: near-native on TPU
+        rr = r.astype(M.dtype)
+        x = base_solve(rr)
+        res = rr - apply_eff(x)
         nrm = jnp.sum(res * res)
 
         def refine_body(_, carry):
             x, res, nrm = carry
             x2 = x + base_solve(res)
-            res2 = r - apply_eff(x2)
+            res2 = rr - apply_eff(x2)
             nrm2 = jnp.sum(res2 * res2)
             better = nrm2 < nrm
             return (jnp.where(better, x2, x), jnp.where(better, res2, res),
@@ -221,7 +249,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None):
         steps = opts.refine_steps + 1 if use_f32 \
             else max(opts.refine_steps, 3)
         x, _, _ = jax.lax.fori_loop(0, steps, refine_body, (x, res, nrm))
-        return x
+        return x.astype(out_dtype)
 
     solve = solve_pallas if (use_f32 and opts.use_pallas) else solve_xla
     return solve, (bad & bad2)
@@ -258,6 +286,9 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
     c_const = jnp.asarray(sp.c)
     Q_const = jnp.asarray(sp.Qobj) if has_q else None
+    # hessian of x'Qx (== 2Q for symmetric Q); used by the explicit
+    # LP/QP gradient in the dtype-parametrized residuals
+    Qsym_const = (Q_const + Q_const.T) if has_q else None
     obj_nl = sp.obj_nl
     con_nl = sp.con_nl
     nl_rows = jnp.asarray(sp.nl_rows) if len(sp.nl_rows) else None
@@ -274,6 +305,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             q_eigw = jnp.asarray(_w)
             q_eigV = jnp.asarray(_V)
             q_wpos = jnp.asarray(_w > 1e-10)
+            q_eigw32 = q_eigw.astype(jnp.float32)
+            q_eigV32 = q_eigV.astype(jnp.float32)
 
     # ---------------- problem callables --------------------------------
     def f_obj(x, c):
@@ -319,8 +352,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
     # ---------------- single-lane solve --------------------------------
     # c_in is traced so heuristics (feasibility pump distance objectives)
-    # can swap linear objectives without recompiling
-    def solve_impl(A, clb, cub, vlb, vub, x0, c_in):
+    # can swap linear objectives without recompiling.  y0 (row duals)
+    # warm-starts the dual side: the reference leans on simplex/active-set
+    # warm starts (OsiLPEngine.cpp:591); the IPM analogue is starting y at
+    # the parent's multipliers and splitting the stationarity residual
+    # into bound multipliers, which shortens the mu walk on child nodes.
+    def solve_impl(A, clb, cub, vlb, vub, x0, c_in, y0=None):
         lz = jnp.concatenate([vlb, clb])
         uz = jnp.concatenate([vub, cub])
         # fixed coordinates (equality rows; branching-fixed variables) get
@@ -349,16 +386,72 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         x_init = clampz(jnp.concatenate([x0, jnp.zeros(m)]))[:n]
         s_init = clampz(jnp.concatenate([jnp.zeros(n), g_con(A, x_init)]))[n:]
         z0 = jnp.concatenate([x_init, s_init])
-        zl0 = jnp.where(fin_l, 1.0, 0.0)
-        zu0 = jnp.where(fin_u, 1.0, 0.0)
-        y0 = jnp.zeros(m)
-
-        obj_scale = 1.0 + jnp.linalg.norm(c_in)
+        if y0 is None:
+            zl0 = jnp.where(fin_l, 1.0, 0.0)
+            zu0 = jnp.where(fin_u, 1.0, 0.0)
+            y0 = jnp.zeros(m)
+        else:
+            # dual warm start: keep the parent's row duals and derive the
+            # bound multipliers from the reduced-cost split of the
+            # stationarity conditions at (x_init, y0):
+            #   zl - zu = [grad f + J'y ; -y]  (rd_x = rd_s = 0),
+            # floored so complementarity starts at a moderate mu instead
+            # of the cold-start mu ~ 1.
+            y0 = jnp.where(jnp.isfinite(y0), y0, 0.0)
+            J0 = jac(A, x_init)
+            rz = jnp.concatenate([grad_f(x_init, c_in) + J0.T @ y0, -y0])
+            zl0 = jnp.where(fin_l, jnp.clip(rz, 1e-2, 1e8), 0.0)
+            zu0 = jnp.where(fin_u, jnp.clip(zl0 - rz, 1e-2, 1e8), 0.0)
 
         def distances(z):
             dl = jnp.where(fin_l, z - lz, 1.0)
             du = jnp.where(fin_u, uz - z, 1.0)
             return jnp.maximum(dl, 1e-14), jnp.maximum(du, 1e-14)
+
+        # ---- per-solve constant operators + dtype environments ----------
+        # For LP/QP the Jacobian is A and the Lagrangian Hessian is the
+        # constant 2Q, so the fixed-var-masked copies are built ONCE per
+        # solve instead of per iteration.  TPU f64 is emulated at matrix
+        # scale (~20-50x slower, see CLAUDE.md), so every (n,n)/(n,m)
+        # contraction inside the iteration runs through one of two
+        # environments: env64 (true operator — soundness-critical work)
+        # and env32 (f32 copies — the light phase-1 iteration, KKT-matrix
+        # assembly, and certificate *selection* proxies).
+        f32 = jnp.float32
+        f64 = jnp.float64
+        if not has_nl:
+            Jm_c = jnp.where(fixed_x[None, :], 0.0, A)
+            if has_q:
+                wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
+                W_c = jnp.where(wmask, 2.0 * Q_const, 0.0)
+            else:
+                W_c = None
+            _cv = lambda a: None if a is None else a.astype(f32)
+            env64 = dict(dt=f64, A=A, Jm=Jm_c, W=W_c, clb=clb, cub=cub,
+                         vlb=vlb, vub=vub, c=c_in,
+                         Qsym=(Qsym_const if has_q else None),
+                         qV=(q_eigV if q_psd else None),
+                         qw=(q_eigw if q_psd else None))
+            env32 = dict(dt=f32, A=_cv(A), Jm=_cv(Jm_c), W=_cv(W_c),
+                         clb=_cv(clb), cub=_cv(cub), vlb=_cv(vlb),
+                         vub=_cv(vub), c=_cv(c_in),
+                         Qsym=_cv(Qsym_const) if has_q else None,
+                         qV=(q_eigV32 if q_psd else None),
+                         qw=(q_eigw32 if q_psd else None))
+        light_on = (not has_nl) and opts.factor_f32 and opts.light_phase1
+
+        def residuals_e(z, y, zl, zu, e):
+            """LP/QP KKT residuals in the dtype of environment e."""
+            dt = e["dt"]
+            x, s = z[:n].astype(dt), z[n:].astype(dt)
+            yk = y.astype(dt)
+            gf = e["c"] + (e["Qsym"] @ x if has_q else 0.0)
+            rd_x = gf + e["A"].T @ yk - zl[:n].astype(dt) + zu[:n].astype(dt)
+            rd_s = -yk - zl[n:].astype(dt) + zu[n:].astype(dt)
+            rd_x = jnp.where(fixed[:n], 0.0, rd_x)
+            rd_s = jnp.where(fixed[n:], 0.0, rd_s)
+            rp = e["A"] @ x - s
+            return rd_x, rd_s, rp
 
         def residuals(A, z, y, zl, zu):
             x, s = z[:n], z[n:]
@@ -389,42 +482,47 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             mu / sd))
             return err, mu
 
-        def cert_bound_generic(y, cvec, const, with_scale=False):
+        def cert_bound_generic(y, cvec, const, e, with_scale=False):
             """min_{z in box} [cvec.x + y.(Ax - s)] + const — the engine
             of both the certified LP dual bound and the Farkas
             infeasibility certificate (cvec = 0).  with_scale also
             returns the absolute-magnitude sum of every term, an upper
             bound on the cancellation that floating-point evaluation of
-            the bound can suffer."""
-            t = -y
-            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
-            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
-            r = cvec - A.T @ tc          # = cvec + A'(-tc)
-            rc = jnp.where((r > 0) & ~_fin(jnp, vlb), 0.0, r)
-            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
-            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
-                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
+            the bound can suffer.  `e` selects the evaluation dtype:
+            env64 for SOUND bounds (pruning / final statuses), env32 for
+            the cheap per-iteration *selection* proxy (which y to keep —
+            a wrong pick costs bound tightness, never soundness)."""
+            eA, eclb, ecub = e["A"], e["clb"], e["cub"]
+            evlb, evub = e["vlb"], e["vub"]
+            t = -y.astype(e["dt"])
+            tc = jnp.where((t > 0) & ~_fin(jnp, eclb), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, ecub), 0.0, tc)
+            r = cvec - eA.T @ tc          # = cvec + A'(-tc)
+            rc = jnp.where((r > 0) & ~_fin(jnp, evlb), 0.0, r)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
+            box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
+                            jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
             slack_pen = jnp.sum(jnp.abs(r - rc) * box)
-            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
-                                         jnp.where(tc < 0, tc * cub, 0.0)))
-            col_term = jnp.sum(jnp.where(rc > 0, rc * vlb,
-                                         jnp.where(rc < 0, rc * vub, 0.0)))
+            row_term = jnp.sum(jnp.where(tc > 0, tc * eclb,
+                                         jnp.where(tc < 0, tc * ecub, 0.0)))
+            col_term = jnp.sum(jnp.where(rc > 0, rc * evlb,
+                                         jnp.where(rc < 0, rc * evub, 0.0)))
             b = row_term + col_term - slack_pen + const
             b = jnp.where(jnp.isnan(b), -_BIG, b)
             if not with_scale:
                 return b
             # |A|'|tc| bounds the matvec's own magnitude (its fp error is
             # a small multiple of eps times this)
-            mat_mag = jnp.sum(jnp.abs(A.T) @ jnp.abs(tc))
+            mat_mag = jnp.sum(jnp.abs(eA.T) @ jnp.abs(tc))
             scale = (jnp.sum(jnp.abs(tc) *
-                             jnp.where(_fin(jnp, clb), jnp.abs(clb), 0.0)) +
+                             jnp.where(_fin(jnp, eclb), jnp.abs(eclb), 0.0)) +
                      jnp.sum(jnp.abs(tc) *
-                             jnp.where(_fin(jnp, cub), jnp.abs(cub), 0.0)) +
+                             jnp.where(_fin(jnp, ecub), jnp.abs(ecub), 0.0)) +
                      jnp.sum(jnp.abs(rc) * box) + slack_pen + mat_mag +
                      jnp.abs(const))
             return b, scale
 
-        def farkas_infeasible(y):
+        def farkas_infeasible(y, e, margin):
             """True only with a CERTIFICATE: some y proves
             min_{box} y.(Ax - s) > 0, i.e. no point in the box satisfies
             the linear rows (valid for LP and QP — constraints are
@@ -433,12 +531,15 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             runs at the pace of its slowest lane).  The margin is
             RELATIVE to the total term magnitude: TPU f64 is emulated,
             so an absolute margin scaled only by |y| fired falsely on
-            borderline-feasible lanes (measured on the v5e)."""
-            g0, scale = cert_bound_generic(y, jnp.zeros(n), 0.0,
-                                           with_scale=True)
-            return g0 > 1e-5 * (1.0 + scale)
+            borderline-feasible lanes (measured on the v5e).  f32
+            evaluations (light phase) use a wider margin AND every
+            in-loop exit is re-confirmed against env64 after the loop
+            before a lane is declared infeasible."""
+            g0, scale = cert_bound_generic(
+                y, jnp.zeros(n, dtype=e["dt"]), 0.0, e, with_scale=True)
+            return g0 > margin * (1.0 + scale)
 
-        def qp_cert_bound(y):
+        def qp_cert_bound(y, e):
             """Certified lower bound for PSD-QP lanes:
                min_x [c.x + x'Qx + y.(Ax - s)]
             >= row_term(tc) + min_{x in R^n} [r.x + x'Qx] + const
@@ -447,29 +548,31 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             components of r make the unconstrained min -inf, so they are
             bounded through the box exactly like the LP certificate
             (clamp + penalty)."""
-            t = -y
-            tc = jnp.where((t > 0) & ~_fin(jnp, clb), 0.0, t)
-            tc = jnp.where((tc < 0) & ~_fin(jnp, cub), 0.0, tc)
-            r = c_in - A.T @ tc
-            alpha = q_eigV.T @ r
+            eA, eclb, ecub = e["A"], e["clb"], e["cub"]
+            evlb, evub = e["vlb"], e["vub"]
+            t = -y.astype(e["dt"])
+            tc = jnp.where((t > 0) & ~_fin(jnp, eclb), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, ecub), 0.0, tc)
+            r = e["c"] - eA.T @ tc
+            alpha = e["qV"].T @ r
             quad_min = -0.25 * jnp.sum(
                 jnp.where(q_wpos, alpha * alpha /
-                          jnp.maximum(q_eigw, 1e-30), 0.0))
+                          jnp.maximum(e["qw"], 1e-30), 0.0))
             # null-space part r0 = V alpha0 handled box-style
-            r0 = q_eigV @ jnp.where(q_wpos, 0.0, alpha)
-            rc = jnp.where((r0 > 0) & ~_fin(jnp, vlb), 0.0, r0)
-            rc = jnp.where((rc < 0) & ~_fin(jnp, vub), 0.0, rc)
-            box = jnp.where(_fin(jnp, vub) & _fin(jnp, vlb),
-                            jnp.maximum(jnp.abs(vub), jnp.abs(vlb)), 1e6)
+            r0 = e["qV"] @ jnp.where(q_wpos, 0.0, alpha)
+            rc = jnp.where((r0 > 0) & ~_fin(jnp, evlb), 0.0, r0)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
+            box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
+                            jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
             pen = jnp.sum(jnp.abs(r0 - rc) * box)
-            col0 = jnp.sum(jnp.where(rc > 0, rc * vlb,
-                                     jnp.where(rc < 0, rc * vub, 0.0)))
-            row_term = jnp.sum(jnp.where(tc > 0, tc * clb,
-                                         jnp.where(tc < 0, tc * cub, 0.0)))
+            col0 = jnp.sum(jnp.where(rc > 0, rc * evlb,
+                                     jnp.where(rc < 0, rc * evub, 0.0)))
+            row_term = jnp.sum(jnp.where(tc > 0, tc * eclb,
+                                         jnp.where(tc < 0, tc * ecub, 0.0)))
             b = row_term + quad_min + col0 - pen + sp.obj_const
             return jnp.where(jnp.isnan(b), -_BIG, b)
 
-        def dual_cert_bound(y):
+        def dual_cert_bound(y, e):
             """Certified LP lower bound from any y.
 
             With the slack convention g(x) = s, l <= (x, s) <= u and row
@@ -487,15 +590,43 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             finite box width (safe) or a 1e6 domain estimate for free
             variables (conservative heuristic; the reference prunes on
             fully unverified engine objectives, cf. PCBProcessor)."""
-            return cert_bound_generic(y, c_in, sp.obj_const)
+            return cert_bound_generic(y, e["c"], sp.obj_const, e)
 
-        def make_step(use_f32, sopts=opts):
+        # per-iteration certified-bound ratchet, ALWAYS evaluated in f64
+        # even in the light phase: the bound max'es over the whole
+        # trajectory, and free-variable penalties amplify dual residuals
+        # by the 1e6 box estimate, so an f32 proxy is noise (~0.1) and
+        # any single-candidate selection loses the max (measured: 4e-4
+        # looser root bounds).  Cost: ONE f64 matvec per iteration —
+        # negligible next to the f64 factorization/refinement work the
+        # light phase removes.
+        if is_lp:
+            cert_f64 = lambda y: dual_cert_bound(y, env64)
+        elif q_psd:
+            cert_f64 = lambda y: qp_cert_bound(y, env64)
+        else:
+            cert_f64 = None
+
+        def make_step(use_f32, sopts=opts, light=False):
+          """One IPM iteration.  `use_f32` picks the FACTOR dtype;
+          `light` runs the whole iteration arithmetic (residuals, KKT
+          assembly, corrections, trials) in f32 against env32 — phase 1
+          only targets a 1e-4 KKT error and every sound decision is
+          (re)made in f64 after the loop."""
+          e = env32 if light else (env64 if not has_nl else None)
+          dt = f32 if light else f64
+          fdt = f32 if use_f32 else f64
+
           def step(carry):
             (z, y, zl, zu, k, err, mu_prev, best_db,
              bz, by, bzl, bzu, berr, bmu) = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
-            rd_x, rd_s, rp, J, gf = residuals(A, z, y, zl, zu)
+            if has_nl:
+                rd_x, rd_s, rp, J, gf = residuals(A, z, y, zl, zu)
+            else:
+                rd_x, rd_s, rp = residuals_e(z, y, zl, zu, e)
+                J = e["A"]
 
             comp = jnp.sum(jnp.where(fin_l, dl * zl, 0.0)) + \
                 jnp.sum(jnp.where(fin_u, du * zu, 0.0))
@@ -505,6 +636,10 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             Dz = jnp.where(fixed, _PIN, Dz)
             Dx_diag = jnp.where(fixed_x, 1.0, Dz[:n] + sopts.reg_primal)
             Ds = Dz[n:] + sopts.reg_dual
+            # iteration-dtype copies of the barrier weights (vector ops
+            # are cheap in f64; these feed MATRIX contractions)
+            Ds_d = Ds.astype(dt)
+            Dx_d = Dx_diag.astype(dt)
 
             if condense_x:
                 # x-space normal equations over INEQUALITY rows:
@@ -514,34 +649,53 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 #   [J_eq   0 ] [dy_eq] = [rhs3_eq]
                 # Fixed vars are exactly eliminated: column-masked J,
                 # masked W, unit diagonal, zero rhs -> dx = 0 on them.
-                Jm = jnp.where(fixed_x[None, :], 0.0, J)
-                ineq_w = Ds.at[eq_rows].set(0.0) if m_eq else Ds
-                if is_lp:
-                    W = jnp.zeros((n, n))
-                else:
+                if has_nl:
+                    Jm = jnp.where(fixed_x[None, :], 0.0, J)
                     W = hess_W(x, y)
                     wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
                     W = jnp.where(wmask, W, 0.0)
-                Mx = W + jnp.diag(Dx_diag) + (Jm.T * ineq_w[None, :]) @ Jm
-                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts, use_f32)
+                else:
+                    Jm = e["Jm"]          # hoisted (constant per solve)
+                    W = e["W"]            # None for LP
+                ineq_w = Ds_d.at[eq_rows].set(0.0) if m_eq else Ds_d
+                # light phase: the KKT matrix is assembled directly in
+                # f32 — its f64 assembly was a pure emulated-f64 tax and
+                # phase 1 only targets 1e-4.  Non-light steps assemble in
+                # the iteration dtype so the in-solver refinement runs
+                # against the true operator (tail accuracy).
+                if light:
+                    Jm_f = Jm.astype(fdt)
+                    w_f = ineq_w.astype(fdt)
+                    Mx = jnp.diag(Dx_d.astype(fdt)) + \
+                        (Jm_f.T * w_f[None, :]) @ Jm_f
+                    if not is_lp:
+                        Mx = Mx + W.astype(fdt)
+                else:
+                    Mx = jnp.diag(Dx_d) + (Jm.T * ineq_w[None, :]) @ Jm
+                    if not is_lp:
+                        Mx = Mx + W
+                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts, use_f32,
+                                               out_dtype=dt)
                 if m_eq:
                     Je = Jm[eq_rows]
                     MeJ = solve_mx(Je.T)
-                    S = Je @ MeJ + 1e-10 * jnp.eye(m_eq)
-                    solve_s, _ = _make_spd_solver(jax, jnp, S, sopts, use_f32)
+                    S = Je @ MeJ + 1e-10 * jnp.eye(m_eq, dtype=dt)
+                    solve_s, _ = _make_spd_solver(jax, jnp, S, sopts,
+                                                  use_f32, out_dtype=dt)
 
                 def raw_xyz(rhs1, rhs2, rhs3):
-                    rx = rhs1 + Jm.T @ (ineq_w * rhs3 + rhs2)
+                    rx = rhs1 + Jm.T @ (ineq_w * rhs3.astype(dt) +
+                                        rhs2.astype(dt))
                     rx = jnp.where(fixed_x, 0.0, rx)
                     if m_eq:
                         t = solve_mx(rx)
-                        dy_eq = solve_s(Je @ t - rhs3[eq_rows])
+                        dy_eq = solve_s(Je @ t - rhs3.astype(dt)[eq_rows])
                         dx = t - MeJ @ dy_eq
                     else:
                         dx = solve_mx(rx)
                     dx = jnp.where(fixed_x, 0.0, dx)
                     ds = J @ dx - rhs3
-                    dy = Ds * ds - rhs2
+                    dy = Ds_d * ds - rhs2
                     if m_eq:
                         # equality slacks do not move; their multipliers
                         # come from the Schur block
@@ -552,21 +706,39 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 def solve_xyz(rhs1, rhs2, rhs3):
                     """raw solve + KKT-level defect correction: the naive
                     multiplier recovery dy = Ds*ds - rhs2 multiplies the
-                    f32 solve error by Ds (up to ~1e12 near convergence),
-                    so residuals of the BLOCK equations are recomputed in
-                    f64 and the correction re-solved jointly."""
+                    factor-dtype solve error by Ds (up to ~1e12 near
+                    convergence), so residuals of the BLOCK equations are
+                    recomputed against the true operator and the
+                    correction re-solved jointly.  Residual dtype: f32 in
+                    the light phase (1e-4 target), f64 in the tail unless
+                    tail_corr_f32 (corrections themselves ACCUMULATE in
+                    the iteration dtype)."""
                     dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
                     if use_f32:
+                        ce = env32 if (light or sopts.tail_corr_f32) \
+                            else env64
+                        if has_nl:
+                            ce = None
+                        cdt = ce["dt"] if ce is not None else f64
+                        cJ = ce["A"] if ce is not None else J
+                        cW = ce["W"] if ce is not None else \
+                            (None if is_lp else W)
+                        cDx = Dx_diag.astype(cdt)
+                        cDs = Ds.astype(cdt)
+
                         def corr_body(_, carry):
                             dx, ds, dy = carry
+                            dxc = dx.astype(cdt)
+                            dsc = ds.astype(cdt)
+                            dyc = dy.astype(cdt)
                             if is_lp:
-                                wdx = Dx_diag * dx
+                                wdx = cDx * dxc
                             else:
-                                wdx = W @ dx + Dx_diag * dx
-                            e1 = rhs1 - (wdx + J.T @ dy)
+                                wdx = cW @ dxc + cDx * dxc
+                            e1 = rhs1.astype(cdt) - (wdx + cJ.T @ dyc)
                             e1 = jnp.where(fixed_x, 0.0, e1)
-                            e2 = rhs2 - (Ds * ds - dy)
-                            e3 = rhs3 - (J @ dx - ds)
+                            e2 = rhs2.astype(cdt) - (cDs * dsc - dyc)
+                            e3 = rhs3.astype(cdt) - (cJ @ dxc - dsc)
                             if m_eq:
                                 e2 = e2.at[eq_rows].set(0.0)
                             cx, cs, cy = raw_xyz(e1, e2, e3)
@@ -577,26 +749,33 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     return dx, ds, dy
             else:
                 # m-space (classic normal equations) — better for LP with
-                # few rows: M = J H^-1 J' + Ds^-1 (m x m).  Fixed vars are
+                # few rows (condense_x covers every non-LP case):
+                # M = J H^-1 J' + Ds^-1 (m x m).  Fixed vars are
                 # eliminated via a zero inverse-diagonal (dx stays 0).
-                if is_lp:
-                    Hinv_diag = jnp.where(fixed_x, 0.0, 1.0 / Dx_diag)
-                    JHJ = (J * Hinv_diag[None, :]) @ J.T
-                    Hsolve = lambda r: Hinv_diag * r
+                Hinv_diag = jnp.where(fixed_x, 0.0, 1.0 / Dx_diag).astype(dt)
+                Hsolve = lambda r: Hinv_diag * r
+                # no block-level defect correction exists on this path, so
+                # the solver's own refinement is the only accuracy source:
+                # the tail must build M in f64 (refinement then runs
+                # against the true operator); only the light phase builds
+                # all-f32
+                if light:
+                    Jf = J.astype(fdt)
+                    Hf = Hinv_diag.astype(fdt)
+                    Mf = (Jf * Hf[None, :]) @ Jf.T + \
+                        jnp.diag((1.0 / Ds_d).astype(fdt))
                 else:
-                    W = hess_W(x, y)
-                    Hbar = W + jnp.diag(Dx_diag) + 1e-10 * jnp.eye(n)
-                    Hsolve, _ = _make_spd_solver(jax, jnp, Hbar, sopts, use_f32)
-                    JHJ = J @ Hsolve(J.T)
-
-                M = JHJ + jnp.diag(1.0 / Ds)
-                solve_m, _ = _make_spd_solver(jax, jnp, M, opts, use_f32)
+                    Mf = (J * Hinv_diag[None, :]) @ J.T + \
+                        jnp.diag(1.0 / Ds_d)
+                solve_m, _ = _make_spd_solver(jax, jnp, Mf, sopts, use_f32,
+                                              out_dtype=dt)
 
                 def solve_xyz(rhs1, rhs2, rhs3):
-                    rhs_y = J @ Hsolve(rhs1) - rhs3 - rhs2 / Ds
+                    rhs_y = J @ Hsolve(rhs1.astype(dt)) - rhs3.astype(dt) \
+                        - rhs2.astype(dt) / Ds_d
                     dy = solve_m(rhs_y)
-                    dx = Hsolve(rhs1 - J.T @ dy)
-                    ds = (dy + rhs2) / Ds
+                    dx = Hsolve(rhs1.astype(dt) - J.T @ dy)
+                    ds = (dy + rhs2.astype(dt)) / Ds_d
                     return dx, ds, dy
 
             def solve_dirs(sig_mu, dcl, dcu):
@@ -661,8 +840,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 zut = jnp.where(fin_u,
                                 jnp.maximum(zu + scale * ad * dzu_c, 1e-300),
                                 0.0)
-                rd_xt, rd_st, rpt, _, _ = residuals(A, zt, yt, zlt, zut)
+                if has_nl:
+                    rd_xt, rd_st, rpt, _, _ = residuals(A, zt, yt, zlt, zut)
+                else:
+                    rd_xt, rd_st, rpt = residuals_e(zt, yt, zlt, zut, e)
                 errt, mut = kkt_error(zt, yt, zlt, zut, rd_xt, rd_st, rpt)
+                errt = errt.astype(f64)
+                mut = mut.astype(f64)
                 if has_nl:
                     # exact-penalty merit for the line search: barrier
                     # objective + nu * primal infeasibility (Ipopt-style
@@ -707,14 +891,16 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             err2 = jnp.where(ok, err2, -1.0)
             mu2 = jnp.where(ok, mu2, mu_prev)
 
-            if is_lp:
-                best_db = jnp.maximum(best_db, dual_cert_bound(y_new))
-            elif q_psd:
-                best_db = jnp.maximum(best_db, qp_cert_bound(y_new))
+            if cert_f64 is not None:
+                best_db = jnp.maximum(best_db, cert_f64(y_new))
             if not has_nl:
                 # certified Farkas exit (err = -2 sentinel): infeasible
-                # lanes stop dragging the whole vmapped batch
-                err2 = jnp.where(farkas_infeasible(y_new), -2.0, err2)
+                # lanes stop dragging the whole vmapped batch.  Light
+                # (f32) evaluations use a wider margin and are confirmed
+                # in f64 after the loop before INFEASIBLE is reported.
+                fk = farkas_infeasible(y_new, e,
+                                       1e-4 if light else 1e-5)
+                err2 = jnp.where(fk, -2.0, err2)
             # best-state ratchet: an f32-factorized step near convergence
             # (tiny mu -> KKT condition past 1/eps32) can blow the iterate
             # up catastrophically and the f32 loop never recovers.  Track
@@ -725,13 +911,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             bz2, by2 = sel(z_new, bz), sel(y_new, by)
             bzl2, bzu2 = sel(zl_new, bzl), sel(zu_new, bzu)
             berr2, bmu2 = sel(err2, berr), sel(mu2, bmu)
-            return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2, best_db,
-                    bz2, by2, bzl2, bzu2, berr2, bmu2)
+            return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2,
+                    best_db, bz2, by2, bzl2, bzu2, berr2, bmu2)
           return step
 
         def cond_to(tol_target):
             def cond(carry):
-                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                k, err, berr = carry[4], carry[5], carry[12]
                 # loop on the BEST error seen (berr <= err); sentinel
                 # errs (< 0: NaN stop / Farkas) exit immediately
                 return (k < opts.max_iters) & (berr > tol_target) & \
@@ -746,7 +932,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
         rd_x0, rd_s0, rp0, _, _ = residuals(A, z0, y0, zl0, zu0)
         err0, mu0 = kkt_error(z0, y0, zl0, zu0, rd_x0, rd_s0, rp0)
-        state0 = (z0, y0, zl0, zu0, 0, err0, mu0, -_BIG,
+        state0 = (z0, y0, zl0, zu0, 0, err0, mu0, jnp.asarray(-_BIG),
                   z0, y0, zl0, zu0, err0, mu0)
         if opts.factor_f32:
             # two-phase: f32-factorized iterations until moderately
@@ -759,10 +945,11 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             cap1 = max(1, opts.max_iters // 2)
 
             def cond1(carry):
-                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                k, err, berr = carry[4], carry[5], carry[12]
                 return (k < cap1) & (berr > switch_tol) & (err >= 0.0)
 
-            state1 = jax.lax.while_loop(cond1, make_step(True), state0)
+            state1 = jax.lax.while_loop(
+                cond1, make_step(True, light=light_on), state0)
             # hand the tail the BEST phase-1 iterate, not the last: an
             # ill-conditioned f32 phase can blow up the multipliers and
             # leave the tail worse than where phase 1 passed through.
@@ -779,7 +966,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             def cond_tail(carry):
                 # the tail gets its own full budget: phase-1 iters are
                 # cheap and must not starve it
-                _, _, _, _, k, err, _, _, _, _, _, _, berr, _ = carry
+                k, err, berr = carry[4], carry[5], carry[12]
                 # keep polishing toward the tight tolerance (f32
                 # iterations are cheap; lanes that floor early just run
                 # to the cap) — but classify convergence at eff_tol
@@ -794,9 +981,25 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             else:
                 tail_step = make_step(False)
             state2 = jax.lax.while_loop(cond_tail, tail_step, state1)
+            polish_step = tail_step
         else:
+            polish_step = make_step(False)
             state2 = jax.lax.while_loop(cond_to(opts.tol),
                                         make_step(False), state0)
+        if cert_f64 is not None:
+            # post-convergence certificate polish: the dual residual rd
+            # only contracts by (1 - alpha) ~ 5e-3 per iteration, and the
+            # certificate's free-variable box penalty amplifies leftover
+            # rd by the ~1e6 domain estimate, so a lane exiting at
+            # err ~ 1e-9 can still carry a ~1e-4-loose certified bound.
+            # ONE extra ratcheted step shrinks rd (and with it the
+            # certificate gap) by another ~200x without perturbing the
+            # in-loop trajectory.  Sentinel lanes (Farkas -2 / NaN -1)
+            # keep their exited state untouched.
+            state3 = polish_step(state2)
+            keep2 = state2[5] < 0.0
+            state2 = tuple(jnp.where(keep2, a, b)
+                           for a, b in zip(state2, state3))
         (z, y, zl, zu, iters, err, mu, best_db,
          bz, by, bzl, bzu, berr, bmu) = state2
         # report the best iterate seen, not the last: a blown f32 step
@@ -810,6 +1013,16 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         x = z[:n]
         obj = f_obj(x, c_in) + sp.obj_const
 
+        # ---- final f64 recomputation ------------------------------------
+        # loop errors may have been measured in f32 (light phase):
+        # statuses, trust margins and certified bounds are re-derived in
+        # f64 here so no sound decision depends on f32 noise
+        rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
+        err_f, mu_f = kkt_error(z, y, zl, zu, rd_xf, rd_sf, rpf)
+        sent = err < 0.0
+        err = jnp.where(sent, err, err_f)
+        mu = jnp.where(sent, mu, mu_f)
+
         # ---- certified dual bound (exact for LP/PSD-QP) -----------------
         # margin adapts to the ACHIEVED error: lanes that converge tightly
         # keep tight trust bounds; only lanes flooring at the f32 limit pay
@@ -817,12 +1030,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                           obj - jnp.maximum(1e-7, 10.0 * err) *
                           (1.0 + jnp.abs(obj)), -_BIG)
         if is_lp:
-            cert_db = jnp.maximum(best_db, dual_cert_bound(y))
+            cert_db = jnp.maximum(best_db, dual_cert_bound(y, env64))
             dual_bound = cert_db
         elif q_psd:
             # certified bound from the Q-eigendecomposition; a converged
             # KKT point of a convex QP also supports its own objective
-            cert_db = jnp.maximum(best_db, qp_cert_bound(y))
+            cert_db = jnp.maximum(best_db, qp_cert_bound(y, env64))
             dual_bound = jnp.maximum(cert_db, trust)
         else:
             # convex NLP: trust the converged KKT point with a tolerance
@@ -830,12 +1043,16 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             cert_db = -_BIG
             dual_bound = trust
 
-        rd_xf, rd_sf, rpf, _, _ = residuals(A, z, y, zl, zu)
         prim_err = jnp.max(jnp.abs(rpf), initial=0.0)
         # an empty bound box (possible after branching/FBBT race) is an
         # infeasible node, not a solvable problem
         empty_box = jnp.any(lz > uz + 1e-12)
+        # every in-loop Farkas exit is re-confirmed by the f64
+        # certificate; unconfirmed lanes (f32 false positive) fall back
+        # to ITERATION_LIMIT with their certified bounds — sound
         farkas = err == -2.0
+        if not has_nl:
+            farkas = farkas & farkas_infeasible(y, env64, 1e-5)
         converged = (err <= eff_tol) & (err >= 0.0) & ~empty_box
         if not has_nl:
             # certificate-based optimality: when the CERTIFIED dual bound
@@ -868,8 +1085,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         return IPMResult(x=x, obj=obj, dual_bound=dual_bound, y=y,
                          status=status, iters=iters, kkt_err=err)
 
-    def solve_one(A, clb, cub, vlb, vub, x0):
-        return solve_impl(A, clb, cub, vlb, vub, x0, c_const)
+    def solve_one(A, clb, cub, vlb, vub, x0, y0=None):
+        return solve_impl(A, clb, cub, vlb, vub, x0, c_const, y0)
 
     solve_one.with_objective = solve_impl
     return solve_one

@@ -51,6 +51,8 @@ def build_sharded_step(sp: StagedProblem, opts: StepOptions,
     def local_step(A, clb, cub, vlb_b, vub_b, x0_b, ub_in):
         res = jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0))(
             A, clb, cub, vlb_b, vub_b, x0_b)
+        # (duals cold-start on the sharded path; per-node warm_y lives in
+        # the single-controller drivers)
         ok = res.int_feasible & (res.status == 1)
         local_best = jnp.min(jnp.where(ok, res.obj, jnp.inf), initial=jnp.inf)
         global_ub = jnp.minimum(jax.lax.pmin(local_best, axis_name=axis),
