@@ -89,7 +89,8 @@ def main():
     bab._step(sp.A, sp.clb, sp.cub,
               np.tile(sp.vlb, (NODE_BATCH, 1)),
               np.tile(sp.vub, (NODE_BATCH, 1)),
-              np.zeros((NODE_BATCH, sp.n)))
+              np.zeros((NODE_BATCH, sp.n)),
+              np.zeros((NODE_BATCH, sp.m)))
     log(f"bench: warmup bucket {NODE_BATCH} compiled+ran in "
         f"{time.monotonic() - t0:.1f}s")
 

@@ -95,12 +95,30 @@ class IPMOptions:
     # unaffected — certificates and final statuses are (re)computed in
     # f64 after the loop, and a Farkas exit raised from f32 arithmetic
     # must be confirmed by the f64 certificate before a lane is declared
-    # infeasible.
-    light_phase1: bool = True
+    # infeasible.  Default OFF: measured on the v5e (color_lab 64-lane
+    # supersteps) the light phase cuts the root superstep 11.2s -> 7.9s
+    # but its f32 noise inflates warm-started child iterations (11 -> 26)
+    # and erases the dual-warm-start win (3.1s -> 3.8s per child
+    # superstep); children dominate a B&B run, so f64 phase-1 arithmetic
+    # with f32 factorization wins end-to-end.
+    light_phase1: bool = False
     # compute the TAIL's block-level defect-correction residuals in f32
     # too (floors the correction near 1e-7 relative instead of ~1e-9;
     # fine for tail_tol=1e-5 but kept off until measured)
     tail_corr_f32: bool = False
+    # assemble the condensed KKT matrix in the FACTOR dtype (f32) even in
+    # non-light steps: the f64 product only fed the SPD solver's internal
+    # f64 refinement (2 emulated (n,n) matvecs per solve, ~18 solves per
+    # iteration at kkt_rounds=8), which the f64 BLOCK corrections below
+    # supersede.  Accuracy then rests entirely on the block corrections,
+    # whose residuals stay f64 against the structured operator (W, J
+    # matvecs) — no f64 (n,n) matmul anywhere in the iteration.
+    light_assembly: bool = True
+    # KKT correction rounds for the AFFINE predictor solve (the corrector
+    # keeps kkt_rounds/tail_kkt_rounds): the predictor only shapes the
+    # centering weight sigma and the corrector's complementarity terms,
+    # so it tolerates a shallower correction.  None = same as corrector.
+    affine_kkt_rounds: Optional[int] = 1
 
 
 class IPMResult(NamedTuple):
@@ -658,18 +676,24 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     Jm = e["Jm"]          # hoisted (constant per solve)
                     W = e["W"]            # None for LP
                 ineq_w = Ds_d.at[eq_rows].set(0.0) if m_eq else Ds_d
-                # light phase: the KKT matrix is assembled directly in
-                # f32 — its f64 assembly was a pure emulated-f64 tax and
-                # phase 1 only targets 1e-4.  Non-light steps assemble in
-                # the iteration dtype so the in-solver refinement runs
-                # against the true operator (tail accuracy).
-                if light:
-                    Jm_f = Jm.astype(fdt)
+                # KKT assembly dtype: f32 whenever the factorization is
+                # f32 (light phase, or light_assembly in f64 steps) — the
+                # f64 product only fed the solver's internal refinement,
+                # which the f64 block corrections below supersede.  Use
+                # the hoisted f32 operator copies where they exist so the
+                # cast isn't paid per iteration.
+                if light or (use_f32 and sopts.light_assembly):
+                    if has_nl:
+                        Jm_f = Jm.astype(fdt)
+                        W_f = W.astype(fdt)
+                    else:
+                        Jm_f = env32["Jm"]
+                        W_f = env32["W"]
                     w_f = ineq_w.astype(fdt)
                     Mx = jnp.diag(Dx_d.astype(fdt)) + \
                         (Jm_f.T * w_f[None, :]) @ Jm_f
                     if not is_lp:
-                        Mx = Mx + W.astype(fdt)
+                        Mx = Mx + W_f
                 else:
                     Mx = jnp.diag(Dx_d) + (Jm.T * ineq_w[None, :]) @ Jm
                     if not is_lp:
@@ -703,7 +727,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                         dy = dy.at[eq_rows].set(dy_eq)
                     return dx, ds, dy
 
-                def solve_xyz(rhs1, rhs2, rhs3):
+                def solve_xyz(rhs1, rhs2, rhs3, rounds=None):
                     """raw solve + KKT-level defect correction: the naive
                     multiplier recovery dy = Ds*ds - rhs2 multiplies the
                     factor-dtype solve error by Ds (up to ~1e12 near
@@ -713,6 +737,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     the light phase (1e-4 target), f64 in the tail unless
                     tail_corr_f32 (corrections themselves ACCUMULATE in
                     the iteration dtype)."""
+                    if rounds is None:
+                        rounds = sopts.kkt_rounds
                     dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
                     if use_f32:
                         ce = env32 if (light or sopts.tail_corr_f32) \
@@ -745,7 +771,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             return dx + cx, ds + cs, dy + cy
 
                         dx, ds, dy = jax.lax.fori_loop(
-                            0, sopts.kkt_rounds, corr_body, (dx, ds, dy))
+                            0, rounds, corr_body, (dx, ds, dy))
                     return dx, ds, dy
             else:
                 # m-space (classic normal equations) — better for LP with
@@ -754,13 +780,14 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 # eliminated via a zero inverse-diagonal (dx stays 0).
                 Hinv_diag = jnp.where(fixed_x, 0.0, 1.0 / Dx_diag).astype(dt)
                 Hsolve = lambda r: Hinv_diag * r
-                # no block-level defect correction exists on this path, so
-                # the solver's own refinement is the only accuracy source:
-                # the tail must build M in f64 (refinement then runs
-                # against the true operator); only the light phase builds
-                # all-f32
-                if light:
-                    Jf = J.astype(fdt)
+                # assembly dtype mirrors the condense_x path: build the
+                # (m,m) normal-equations matrix in f32 whenever the
+                # factorization is f32 — accuracy comes from the BLOCK
+                # defect correction below, whose residuals need only
+                # (m,n) matvecs against the structured operator (H is
+                # diagonal), never a formed f64 M.
+                if light or (use_f32 and sopts.light_assembly):
+                    Jf = env32["A"] if not has_nl else J.astype(fdt)
                     Hf = Hinv_diag.astype(fdt)
                     Mf = (Jf * Hf[None, :]) @ Jf.T + \
                         jnp.diag((1.0 / Ds_d).astype(fdt))
@@ -770,7 +797,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 solve_m, _ = _make_spd_solver(jax, jnp, Mf, sopts, use_f32,
                                               out_dtype=dt)
 
-                def solve_xyz(rhs1, rhs2, rhs3):
+                def raw_m(rhs1, rhs2, rhs3):
                     rhs_y = J @ Hsolve(rhs1.astype(dt)) - rhs3.astype(dt) \
                         - rhs2.astype(dt) / Ds_d
                     dy = solve_m(rhs_y)
@@ -778,7 +805,48 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     ds = (dy + rhs2.astype(dt)) / Ds_d
                     return dx, ds, dy
 
-            def solve_dirs(sig_mu, dcl, dcu):
+                def solve_xyz(rhs1, rhs2, rhs3, rounds=None):
+                    """raw normal-equations solve + block-level defect
+                    correction (same scheme as the condense_x path): the
+                    block residuals
+                        e1 = rhs1 - (Dx*dx + J'dy)
+                        e2 = rhs2 - (Ds*ds - dy)
+                        e3 = rhs3 - (J dx - ds)
+                    are recomputed against the true operator in f64 and
+                    the correction re-solved — recovers f64 direction
+                    accuracy from an all-f32 factorization without an
+                    f64 (m,m) build or refinement anywhere."""
+                    if rounds is None:
+                        rounds = sopts.kkt_rounds
+                    dx, ds, dy = raw_m(rhs1, rhs2, rhs3)
+                    if use_f32:
+                        ce = env32 if (light or sopts.tail_corr_f32) \
+                            else env64
+                        if has_nl:
+                            ce = None
+                        cdt = ce["dt"] if ce is not None else f64
+                        cJ = ce["A"] if ce is not None else J
+                        cDx = Dx_diag.astype(cdt)
+                        cDs = Ds.astype(cdt)
+
+                        def corr_body(_, carry):
+                            dx, ds, dy = carry
+                            dxc = dx.astype(cdt)
+                            dsc = ds.astype(cdt)
+                            dyc = dy.astype(cdt)
+                            e1 = rhs1.astype(cdt) - (cDx * dxc +
+                                                     cJ.T @ dyc)
+                            e1 = jnp.where(fixed_x, 0.0, e1)
+                            e2 = rhs2.astype(cdt) - (cDs * dsc - dyc)
+                            e3 = rhs3.astype(cdt) - (cJ @ dxc - dsc)
+                            cx, cs, cy = raw_m(e1, e2, e3)
+                            return dx + cx, ds + cs, dy + cy
+
+                        dx, ds, dy = jax.lax.fori_loop(
+                            0, rounds, corr_body, (dx, ds, dy))
+                    return dx, ds, dy
+
+            def solve_dirs(sig_mu, dcl, dcu, rounds=None):
                 """dcl/dcu: extra complementarity correction terms."""
                 rc_l = jnp.where(fin_l, sig_mu - dl * zl - dcl, 0.0)
                 rc_u = jnp.where(fin_u, sig_mu - du * zu - dcu, 0.0)
@@ -787,7 +855,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 rhs1 = -rd_x + t_l[:n] - t_u[:n]
                 rhs2 = -rd_s + t_l[n:] - t_u[n:]
                 rhs3 = -rp
-                dx, ds, dy = solve_xyz(rhs1, rhs2, rhs3)
+                dx, ds, dy = solve_xyz(rhs1, rhs2, rhs3, rounds)
                 dz = jnp.concatenate([dx, ds])
                 dzl = jnp.where(fin_l, (rc_l - zl * dz) / dl, 0.0)
                 dzu = jnp.where(fin_u, (rc_u + zu * dz) / du, 0.0)
@@ -801,7 +869,11 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 dz_a, dy_a = zed, jnp.zeros_like(y)
                 dzl_a, dzu_a = zed, zed
             else:
-                dz_a, dy_a, dzl_a, dzu_a = solve_dirs(0.0, 0.0, 0.0)
+                aff_rounds = sopts.kkt_rounds \
+                    if sopts.affine_kkt_rounds is None \
+                    else min(sopts.affine_kkt_rounds, sopts.kkt_rounds)
+                dz_a, dy_a, dzl_a, dzu_a = solve_dirs(0.0, 0.0, 0.0,
+                                                      rounds=aff_rounds)
             ap = jnp.minimum(_max_step(jnp, dl, dz_a, 1.0, fin_l),
                              _max_step(jnp, du, -dz_a, 1.0, fin_u))
             ad = jnp.minimum(_max_step(jnp, zl, dzl_a, 1.0, fin_l),

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=36)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--instance", default=INSTANCE)
+    ap.add_argument("--ipm", action="append", default=[],
+                    help="IPMOptions override, e.g. --ipm tail_kkt_rounds=4")
     args = ap.parse_args()
 
     import jax
@@ -48,9 +50,15 @@ def main():
     n, m = sp.n, sp.m
     print(f"instance n={n} m={m} B={B}", file=sys.stderr)
 
+    ipm_kw = {}
+    for kv in (args.ipm or []):
+        k, v = kv.split("=")
+        ipm_kw[k] = {"True": True, "False": False}.get(v) \
+            if v in ("True", "False") else (int(v) if v.isdigit()
+                                            else float(v))
     step = build_node_step(sp, StepOptions(
         fbbt_rounds=2,
-        ipm=IPMOptions(max_iters=args.iters)))
+        ipm=IPMOptions(max_iters=args.iters, **ipm_kw)))
 
     rng = np.random.default_rng(0)
     vlb_b = np.tile(sp.vlb, (B, 1))
@@ -81,9 +89,11 @@ def main():
         dt = time.monotonic() - t0
         st = np.asarray(res.status)
         kkt = np.asarray(res.kkt_err)
+        hist = {int(k): int(v) for k, v in
+                zip(*np.unique(st, return_counts=True))}
         print(f"{tag}: {dt:6.2f}s  iters max={iters.max()} "
               f"mean={iters.mean():.1f}  conv={(st == 1).sum()}/{B} "
-              f"kkt_max={kkt.max():.2e}", file=sys.stderr)
+              f"kkt_max={kkt.max():.2e} status={hist}", file=sys.stderr)
         return res, dt
 
     t0 = time.monotonic()
