@@ -328,6 +328,7 @@ class BranchAndBound:
         if self._is_lp_relax and self.ub < _INF and hasattr(res, "y"):
             self._rc_fix(xs, np.asarray(res.y), db, status, nvlb, nvub)
         ys = np.asarray(res.y) if hasattr(res, "y") else None
+        its = np.asarray(res.iters) if hasattr(res, "iters") else None
         if seen is None:
             seen = set()
         for i, node in enumerate(batch):
@@ -336,6 +337,7 @@ class BranchAndBound:
             seen.add(id(node))
             self._lane_kkt = float(kkt[i]) if i < len(kkt) else np.inf
             self._lane_y = ys[i] if ys is not None else None
+            self._lane_iters = int(its[i]) if its is not None else 0
             next_id = self._process_result(
                 node, status[i], obj[i], db[i], xs[i], bool(int_feas[i]),
                 int(bvar[i]), float(bval[i]), nvlb[i], nvub[i], next_id)
@@ -430,7 +432,8 @@ class BranchAndBound:
                     children.append(Node(
                         nid=next_id + side, depth=node.depth + 1,
                         lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy(),
-                        warm_y=self._lane_warm_y(), vio_val=node.vio_val))
+                        warm_y=self._lane_warm_y(), vio_val=node.vio_val,
+                        pred_iters=self._lane_iters_val()))
                 node.status = NodeStatus.BRANCHED
                 self.tm.branch(children, node)
                 return next_id + 2
@@ -514,10 +517,16 @@ class BranchAndBound:
                 nid=next_id + side, depth=node.depth + 1, lb=child_bound,
                 vlb=cvlb, vub=cvub, warm_x=x.copy(),
                 warm_y=self._lane_warm_y(), branch_var=bvar,
-                branch_dir=side, branch_frac=frac, vio_val=node.vio_val))
+                branch_dir=side, branch_frac=frac, vio_val=node.vio_val,
+                pred_iters=self._lane_iters_val()))
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
+
+    def _lane_iters_val(self) -> int:
+        """IPM iteration count of the lane being processed — children
+        inherit it as a difficulty estimate for batch composition."""
+        return int(getattr(self, "_lane_iters", 0))
 
     def _lane_warm_y(self) -> Optional[np.ndarray]:
         """Row duals of the lane currently being processed (children

@@ -35,6 +35,12 @@ class Node:
     branch_dir: int = 0             # 0 = down child, 1 = up child
     branch_frac: float = 0.0        # |LP value - imposed bound| at parent
     tb_score: float = 0.0           # tie-break / requeue counter
+    pred_iters: int = 0             # parent lane's IPM iteration count —
+    #                                 a difficulty estimate the tree
+    #                                 manager uses to compose iteration-
+    #                                 homogeneous batches (a vmapped
+    #                                 superstep runs at the pace of its
+    #                                 slowest lane)
     vio_val: float = float("inf")   # parent's nl-violation score (QG ECP
     #                                 gating; reference Node::setVioVal)
 

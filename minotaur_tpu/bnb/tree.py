@@ -70,7 +70,14 @@ class TreeManager:
     # -------------------------------------------------------------- pop
     def pop_batch(self, k: int) -> List[Node]:
         """Pop up to k best nodes, skipping any that the current cutoff
-        prunes (reference: getCandidate + shouldPrune_)."""
+        prunes (reference: getCandidate + shouldPrune_).
+
+        Batch composition note: an easy-first variant (pop 2k, keep the k
+        with the smallest parent-lane iteration counts) was measured on
+        the v5e bench and made things 2.5x WORSE — deferring hard nodes
+        clusters them into all-hard batches that run to the iteration cap
+        and it breaks the dive locality of the best-then-dive order.
+        Nodes still carry pred_iters for future policies."""
         out: List[Node] = []
         while self._heap and len(out) < k:
             _, _, node = heapq.heappop(self._heap)

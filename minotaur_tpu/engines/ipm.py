@@ -77,9 +77,12 @@ class IPMOptions:
     # their certified bounds; infeasibility claims need a Farkas
     # certificate either way, so soundness is unaffected.
     tail_factor_f32: bool = True
-    # defect-correction depth in the f32 tail: 8 rounds reaches ~4e-6 KKT
-    # error where 4 floors at ~2e-3 (each round is cheap f64 matmuls, not
-    # a factorization)
+    # defect-correction depth in the f32 tail.  Each round costs one f64
+    # structured matvec per direction (~5.5 ms on the v5e at B=64,
+    # n=300).  4 rounds looked strictly better on the synthetic profiler
+    # boxes (warm children -24%) but on the REAL bench tree its accuracy
+    # floor left many lanes unconverged and running to the iteration cap
+    # (bench 18.8 -> 8.0 nodes/s) — keep 8.
     tail_kkt_rounds: int = 8
     # convergence target for the all-f32 tail: the refined f32
     # factorization floors around 2e-6 KKT error even with deep defect
@@ -119,6 +122,18 @@ class IPMOptions:
     # centering weight sigma and the corrector's complementarity terms,
     # so it tolerates a shallower correction.  None = same as corrector.
     affine_kkt_rounds: Optional[int] = 1
+    # Gondzio multiple centrality corrections (LP/QP path): after the
+    # Mehrotra corrector, re-solve with a complementarity-only rhs that
+    # pushes outlier products back into [0.1, 10] x (sigma*mu) at an
+    # enlarged trial step, and keep the corrected direction per lane only
+    # where it lengthens the step.  Each correction reuses the iteration's
+    # factorization (one cheap solve), trading solves for iterations —
+    # the right trade on TPU where the f32 factorization dominates the
+    # iteration cost.  Default 0: measured on the v5e (color_lab) the
+    # corrections did NOT reduce iteration counts (root 39 -> 46, warm
+    # children unchanged at 11) and the extra solves cost ~25% device
+    # time — kept as an instance-tunable knob.
+    gondzio_correctors: int = 0
 
 
 class IPMResult(NamedTuple):
@@ -199,6 +214,9 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
     # CALLS are latency-bound on TPU (~8 ms each regardless of rhs width),
     # and the IPM issues dozens per iteration — so pay 2 wide TRSMs here
     # and make every subsequent solve a pure MXU matmul.
+    # NOTE: Linv.T @ Linv (one triangular solve + one matmul) was
+    # measured 3x WORSE end-to-end than cho_solve's two triangular
+    # passes on the v5e bench — keep cho_solve.
     Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
 
     if out_dtype is None:
@@ -625,25 +643,34 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         else:
             cert_f64 = None
 
-        def make_step(use_f32, sopts=opts, light=False):
+        def make_step(use_f32, sopts=opts, light=False, ratchet=True):
           """One IPM iteration.  `use_f32` picks the FACTOR dtype;
           `light` runs the whole iteration arithmetic (residuals, KKT
           assembly, corrections, trials) in f32 against env32 — phase 1
           only targets a 1e-4 KKT error and every sound decision is
-          (re)made in f64 after the loop."""
+          (re)made in f64 after the loop.  `ratchet` enables the
+          per-iteration f64 certified-bound update (the tail + polish
+          steps); phase 1 skips it — its bounds tighten monotonically as
+          mu drops, so early iterates never carry the max, and the QP
+          certificate costs two f64 (n,n) matvecs per iteration."""
           e = env32 if light else (env64 if not has_nl else None)
           dt = f32 if light else f64
           fdt = f32 if use_f32 else f64
 
           def step(carry):
-            (z, y, zl, zu, k, err, mu_prev, best_db,
+            (z, y, zl, zu, k, err, mu_prev, best_db, rvec,
              bz, by, bzl, bzu, berr, bmu) = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
             if has_nl:
+                # NL residuals need the fresh Jacobian/gradient anyway,
+                # so nothing is saved by carrying them
                 rd_x, rd_s, rp, J, gf = residuals(A, z, y, zl, zu)
             else:
-                rd_x, rd_s, rp = residuals_e(z, y, zl, zu, e)
+                # LP/QP residuals at the CURRENT point are the previous
+                # iteration's trial residuals — carried, not recomputed
+                # (saves one f64 (n,n) Qsym matvec per iteration)
+                rd_x, rd_s, rp = rvec[:n], rvec[n:n + m], rvec[n + m:]
                 J = e["A"]
 
             comp = jnp.sum(jnp.where(fin_l, dl * zl, 0.0)) + \
@@ -846,15 +873,27 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             0, rounds, corr_body, (dx, ds, dy))
                     return dx, ds, dy
 
-            def solve_dirs(sig_mu, dcl, dcu, rounds=None):
-                """dcl/dcu: extra complementarity correction terms."""
-                rc_l = jnp.where(fin_l, sig_mu - dl * zl - dcl, 0.0)
-                rc_u = jnp.where(fin_u, sig_mu - du * zu - dcu, 0.0)
+            def solve_dirs(sig_mu, dcl, dcu, rounds=None, rc=None,
+                           resid=True):
+                """dcl/dcu: extra complementarity correction terms.
+                rc=(rc_l, rc_u) supplies the complementarity rhs directly
+                (Gondzio corrections); resid=False drops the KKT residual
+                terms (a pure direction CORRECTION solve)."""
+                if rc is None:
+                    rc_l = jnp.where(fin_l, sig_mu - dl * zl - dcl, 0.0)
+                    rc_u = jnp.where(fin_u, sig_mu - du * zu - dcu, 0.0)
+                else:
+                    rc_l, rc_u = rc
                 t_l = jnp.where(fin_l, rc_l / dl, 0.0)
                 t_u = jnp.where(fin_u, rc_u / du, 0.0)
-                rhs1 = -rd_x + t_l[:n] - t_u[:n]
-                rhs2 = -rd_s + t_l[n:] - t_u[n:]
-                rhs3 = -rp
+                rhs1 = t_l[:n] - t_u[:n]
+                rhs2 = t_l[n:] - t_u[n:]
+                if resid:
+                    rhs1 = rhs1 - rd_x
+                    rhs2 = rhs2 - rd_s
+                    rhs3 = -rp
+                else:
+                    rhs3 = jnp.zeros_like(rp)
                 dx, ds, dy = solve_xyz(rhs1, rhs2, rhs3, rounds)
                 dz = jnp.concatenate([dx, ds])
                 dzl = jnp.where(fin_l, (rc_l - zl * dz) / dl, 0.0)
@@ -891,6 +930,53 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             else:
                 dz_c, dy_c, dzl_c, dzu_c = solve_dirs(
                     sigma * mu, dz_a * dzl_a, -dz_a * dzu_a)
+
+            if (not has_nl) and sopts.gondzio_correctors > 0 \
+                    and "nodirs" not in _abl:
+                # Gondzio multiple centrality corrections: at an ENLARGED
+                # trial step, clip outlier complementarity products back
+                # into [0.1, 10] x target-mu, re-solve with that
+                # complementarity-only rhs (same factorization, one cheap
+                # solve), and keep the corrected direction per lane only
+                # where it lengthens the combined step.
+                mu_g = jnp.maximum(sigma * mu, 1e-300)
+                for _ in range(sopts.gondzio_correctors):
+                    ap_c = jnp.minimum(
+                        _max_step(jnp, dl, dz_c, sopts.tau, fin_l),
+                        _max_step(jnp, du, -dz_c, sopts.tau, fin_u))
+                    ad_c = jnp.minimum(
+                        _max_step(jnp, zl, dzl_c, sopts.tau, fin_l),
+                        _max_step(jnp, zu, dzu_c, sopts.tau, fin_u))
+                    ape = jnp.minimum(1.0, 1.5 * ap_c)
+                    ade = jnp.minimum(1.0, 1.5 * ad_c)
+                    dle = jnp.maximum(dl + ape * dz_c, 0.0)
+                    due = jnp.maximum(du - ape * dz_c, 0.0)
+                    zle = jnp.maximum(zl + ade * dzl_c, 0.0)
+                    zue = jnp.maximum(zu + ade * dzu_c, 0.0)
+                    vl = dle * zle
+                    vu = due * zue
+                    rc_l = jnp.where(fin_l,
+                                     jnp.clip(vl, 0.1 * mu_g, 10.0 * mu_g)
+                                     - vl, 0.0)
+                    rc_u = jnp.where(fin_u,
+                                     jnp.clip(vu, 0.1 * mu_g, 10.0 * mu_g)
+                                     - vu, 0.0)
+                    gdz, gdy, gdzl, gdzu = solve_dirs(
+                        0.0, 0.0, 0.0, rounds=1, rc=(rc_l, rc_u),
+                        resid=False)
+                    dz_g, dy_g = dz_c + gdz, dy_c + gdy
+                    dzl_g, dzu_g = dzl_c + gdzl, dzu_c + gdzu
+                    ap_g = jnp.minimum(
+                        _max_step(jnp, dl, dz_g, sopts.tau, fin_l),
+                        _max_step(jnp, du, -dz_g, sopts.tau, fin_u))
+                    ad_g = jnp.minimum(
+                        _max_step(jnp, zl, dzl_g, sopts.tau, fin_l),
+                        _max_step(jnp, zu, dzu_g, sopts.tau, fin_u))
+                    acc = (ap_g + ad_g) > (ap_c + ad_c + 0.02)
+                    gsel = lambda a, b: jnp.where(acc, a, b)
+                    dz_c, dy_c = gsel(dz_g, dz_c), gsel(dy_g, dy_c)
+                    dzl_c = gsel(dzl_g, dzl_c)
+                    dzu_c = gsel(dzu_g, dzu_c)
 
             ap = jnp.minimum(_max_step(jnp, dl, dz_c, sopts.tau, fin_l),
                              _max_step(jnp, du, -dz_c, sopts.tau, fin_u))
@@ -933,7 +1019,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                     merit = f_obj(zt[:n], c_in) + bar + nu_pen * theta
                 else:
                     merit = jnp.asarray(0.0)
-                return (zt, yt, zlt, zut, errt, mut, merit)
+                rvt = jnp.concatenate([rd_xt, rd_st, rpt])
+                return (zt, yt, zlt, zut, errt, mut, merit, rvt)
 
             if has_nl:
                 # merit line search over a fixed scale ladder: take the
@@ -941,17 +1028,18 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 # if none does, take the smallest step (escapes cycling
                 # where the full Mehrotra step oscillates — the luedtke-1
                 # stall mode)
-                m0 = trial(0.0)[-1]
+                m0 = trial(0.0)[-2]
                 cands = [trial(s) for s in (0.05, 0.25, 1.0)]
                 sel = cands[0]
                 for cand in cands[1:]:
-                    acc = ((cand[-1] < m0 - 1e-12) |
-                           (cand[4] < err)) & jnp.isfinite(cand[-1])
+                    acc = ((cand[-2] < m0 - 1e-12) |
+                           (cand[4] < err)) & jnp.isfinite(cand[-2])
                     sel = tuple(jnp.where(acc, a, b)
                                 for a, b in zip(cand, sel))
-                z_new, y_new, zl_new, zu_new, err2, mu2, _ = sel
+                z_new, y_new, zl_new, zu_new, err2, mu2, _, rvec2 = sel
             else:
-                z_new, y_new, zl_new, zu_new, err2, mu2, _ = trial(1.0)
+                (z_new, y_new, zl_new, zu_new, err2, mu2, _,
+                 rvec2) = trial(1.0)
 
             # NaN guard: if the step blew up, keep the previous iterate and
             # stop (err -> 0 exits the loop; status decided from residuals).
@@ -962,8 +1050,9 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             zu_new = jnp.where(ok, zu_new, zu)
             err2 = jnp.where(ok, err2, -1.0)
             mu2 = jnp.where(ok, mu2, mu_prev)
+            rvec2 = jnp.where(ok, rvec2, rvec)
 
-            if cert_f64 is not None:
+            if ratchet and cert_f64 is not None:
                 best_db = jnp.maximum(best_db, cert_f64(y_new))
             if not has_nl:
                 # certified Farkas exit (err = -2 sentinel): infeasible
@@ -984,12 +1073,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             bzl2, bzu2 = sel(zl_new, bzl), sel(zu_new, bzu)
             berr2, bmu2 = sel(err2, berr), sel(mu2, bmu)
             return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2,
-                    best_db, bz2, by2, bzl2, bzu2, berr2, bmu2)
+                    best_db, rvec2, bz2, by2, bzl2, bzu2, berr2, bmu2)
           return step
 
         def cond_to(tol_target):
             def cond(carry):
-                k, err, berr = carry[4], carry[5], carry[12]
+                k, err, berr = carry[4], carry[5], carry[-2]
                 # loop on the BEST error seen (berr <= err); sentinel
                 # errs (< 0: NaN stop / Farkas) exit immediately
                 return (k < opts.max_iters) & (berr > tol_target) & \
@@ -1004,8 +1093,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
         rd_x0, rd_s0, rp0, _, _ = residuals(A, z0, y0, zl0, zu0)
         err0, mu0 = kkt_error(z0, y0, zl0, zu0, rd_x0, rd_s0, rp0)
+        # carried residual vector in the dtype of the FIRST loop (the
+        # light phase carries f32 residuals)
+        ldt0 = f32 if light_on else f64
+        rvec0 = jnp.concatenate([rd_x0, rd_s0, rp0]).astype(ldt0)
         state0 = (z0, y0, zl0, zu0, 0, err0, mu0, jnp.asarray(-_BIG),
-                  z0, y0, zl0, zu0, err0, mu0)
+                  rvec0, z0, y0, zl0, zu0, err0, mu0)
         if opts.factor_f32:
             # two-phase: f32-factorized iterations until moderately
             # converged (f32+refinement stalls once the barrier pushes the
@@ -1017,28 +1110,40 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             cap1 = max(1, opts.max_iters // 2)
 
             def cond1(carry):
-                k, err, berr = carry[4], carry[5], carry[12]
+                k, err, berr = carry[4], carry[5], carry[-2]
                 return (k < cap1) & (berr > switch_tol) & (err >= 0.0)
 
             state1 = jax.lax.while_loop(
-                cond1, make_step(True, light=light_on), state0)
+                cond1, make_step(True, light=light_on, ratchet=False),
+                state0)
             # hand the tail the BEST phase-1 iterate, not the last: an
             # ill-conditioned f32 phase can blow up the multipliers and
             # leave the tail worse than where phase 1 passed through.
             # Farkas lanes (err == -2) keep their certificate; NaN-stopped
             # lanes (err == -1) restart the tail from their best state.
-            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1,
+            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1, _rv1,
              bz1, by1, bzl1, bzu1, berr1, bmu1) = state1
             use_b = (err1 == -1.0) | ((err1 >= 0.0) & (berr1 < err1))
             ub_ = lambda a, b: jnp.where(use_b, a, b)
-            state1 = (ub_(bz1, z1), ub_(by1, y1), ub_(bzl1, zl1),
-                      ub_(bzu1, zu1), k1, ub_(berr1, err1), ub_(bmu1, mu1),
-                      bdb1, bz1, by1, bzl1, bzu1, berr1, bmu1)
+            zm, ym = ub_(bz1, z1), ub_(by1, y1)
+            zlm, zum = ub_(bzl1, zl1), ub_(bzu1, zu1)
+            # recompute the carried residuals in f64 at the (possibly
+            # best-state-merged) handoff point: the light loop carried
+            # them in f32, and merged lanes carry residuals of a
+            # different iterate
+            if has_nl:
+                rxm, rsm, rpm, _, _ = residuals(A, zm, ym, zlm, zum)
+            else:
+                rxm, rsm, rpm = residuals_e(zm, ym, zlm, zum, env64)
+            rvm = jnp.concatenate([rxm, rsm, rpm]).astype(f64)
+            state1 = (zm, ym, zlm, zum, k1, ub_(berr1, err1),
+                      ub_(bmu1, mu1), bdb1, rvm,
+                      bz1, by1, bzl1, bzu1, berr1, bmu1)
 
             def cond_tail(carry):
                 # the tail gets its own full budget: phase-1 iters are
                 # cheap and must not starve it
-                k, err, berr = carry[4], carry[5], carry[12]
+                k, err, berr = carry[4], carry[5], carry[-2]
                 # keep polishing toward the tight tolerance (f32
                 # iterations are cheap; lanes that floor early just run
                 # to the cap) — but classify convergence at eff_tol
@@ -1072,7 +1177,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             keep2 = state2[5] < 0.0
             state2 = tuple(jnp.where(keep2, a, b)
                            for a, b in zip(state2, state3))
-        (z, y, zl, zu, iters, err, mu, best_db,
+        (z, y, zl, zu, iters, err, mu, best_db, _rvf,
          bz, by, bzl, bzu, berr, bmu) = state2
         # report the best iterate seen, not the last: a blown f32 step
         # near convergence must not discard an earlier near-optimal state.
