@@ -105,6 +105,9 @@ def main():
     log(f"bench: instance={os.path.basename(INSTANCE)} status={bab.status.name} "
         f"nodes={nodes} time={dt:.1f}s ub={bab.ub:.6g} lb={bab.lb:.6g} "
         f"batches={bab.stats.batches} total_wall={time.monotonic()-t_start:.1f}s")
+    log(f"bench: phase split device={bab.stats.t_device:.1f}s "
+        f"host={bab.stats.t_host:.1f}s "
+        f"({bab.stats.t_device / max(dt, 1e-9) * 100:.0f}% device)")
 
     guard.cancel()
     print(json.dumps({

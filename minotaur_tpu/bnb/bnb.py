@@ -41,6 +41,9 @@ class BabStats:
     sols_found: int = 0
     unresolved: int = 0
     time: float = 0.0
+    # phase breakdown: device+transfer wall vs host bookkeeping wall
+    t_device: float = 0.0
+    t_host: float = 0.0
 
 
 class BranchAndBound:
@@ -106,6 +109,20 @@ class BranchAndBound:
         self.sol_pool = SolutionPool(int(opts.get("sol_pool_size")))
         self._rng_branch = np.random.default_rng(
             int(opts.get("rand_seed")) + 17)
+        # in-tree reliability branching (reference: ReliabilityBrancher::
+        # strongBranch_ solves every unreliable candidate with an
+        # iteration-limited warm engine, ReliabilityBrancher.cpp:161-236,
+        # 469).  TPU translation: probe boxes RIDE ALONG in the padding
+        # slots of the next superstep (pad_full pads to a fixed bucket
+        # anyway, so probes are nearly free), and their certified dual
+        # bounds feed the pseudocosts.  strbr_iter_limit bounds the probe
+        # *queue* drained per superstep (cost bounding — per-lane engine
+        # iteration caps buy nothing when the vmapped loop runs at the
+        # slowest node lane's count anyway).
+        self._rel_thresh = max(0, int(opts.get("rel_thresh")))
+        self._strbr_limit = max(0, int(opts.get("strbr_iter_limit")))
+        self._probe_queue: List[tuple] = []
+        self._probe_pending = {}  # (j, side) -> queued count
 
     # ------------------------------------------------------------- bounds
     def _gap(self) -> float:
@@ -231,19 +248,41 @@ class BranchAndBound:
                 while bucket < B:
                     bucket *= 4
                 bucket = min(bucket, self._batch)
-            while B < bucket:
+            # strong-branch probes fill otherwise-wasted padding lanes
+            probes = self._pop_probes(bucket - B)
+            while B + len(probes) < bucket:
                 batch.append(batch[0])
                 B += 1
 
-            vlb_b = np.stack([nd.vlb for nd in batch])
-            vub_b = np.stack([nd.vub for nd in batch])
-            x0_b = self._lane_starts(batch)
-            y0_b = self._lane_duals(batch)
+            t_d0 = time.monotonic()
+            vlb_b = np.stack([nd.vlb for nd in batch] +
+                             [p[3] for p in probes])
+            vub_b = np.stack([nd.vub for nd in batch] +
+                             [p[4] for p in probes])
+            x0_b = np.concatenate(
+                [self._lane_starts(batch),
+                 np.stack([p[5] for p in probes])]) if probes \
+                else self._lane_starts(batch)
+            y0_b = np.concatenate(
+                [self._lane_duals(batch),
+                 np.stack([p[6] if p[6] is not None and
+                           p[6].shape[0] == self.sp.m
+                           else np.zeros(self.sp.m) for p in probes])]) \
+                if probes else self._lane_duals(batch)
             res = self._run_step(vlb_b, vub_b, x0_b, y0_b)
+            # materialize one scalar field: blocks until the device
+            # program finished (block_until_ready is unreliable through
+            # the axon tunnel; a d2h transfer is the only true sync)
+            np.asarray(res.status)
+            t_d1 = time.monotonic()
+            self.stats.t_device += t_d1 - t_d0
             self.stats.batches += 1
             self.stats.solves += B
 
             next_id = self._handle_batch(batch, res, next_id)
+            if probes:
+                self._process_probes(probes, res, offset=len(batch))
+            self.stats.t_host += time.monotonic() - t_d1
 
             # recompute global lower bound (capped by unresolved leaves)
             open_lb = min(self.tm.best_lb(), self.unresolved_lb)
@@ -329,8 +368,25 @@ class BranchAndBound:
             self._rc_fix(xs, np.asarray(res.y), db, status, nvlb, nvub)
         ys = np.asarray(res.y) if hasattr(res, "y") else None
         its = np.asarray(res.iters) if hasattr(res, "iters") else None
+        if its is not None:
+            self._log.debug(
+                f"  batch {self.stats.batches}: iters max={its.max()} "
+                f"mean={its.mean():.1f} conv={(status == 1).sum()}/"
+                f"{len(batch)}")
         if seen is None:
             seen = set()
+        # periodic in-tree rounding: every batch while no incumbent
+        # exists, every 8th afterwards — one host-side repair+local-search
+        # pass on the batch's best finite relaxation point (reference:
+        # in-tree divheur/rounding calls, Bnb.cpp:152-169)
+        if self.sp.int_mask.any() and \
+                (self.ub >= _INF or self.stats.batches % 8 == 0):
+            finite = np.all(np.isfinite(xs), axis=1) & \
+                (status != EngineStatus.SOLVED_INFEASIBLE)
+            if finite.any():
+                i_best = int(np.argmin(np.where(finite, obj, np.inf)))
+                self._try_round_incumbent(xs[i_best], nvlb[i_best],
+                                          nvub[i_best])
         for i, node in enumerate(batch):
             if id(node) in seen:
                 continue  # padding duplicate
@@ -483,15 +539,29 @@ class BranchAndBound:
             return next_id
 
         # root rounding heuristic (reference divheur-lite): plain and
-        # partition-repaired roundings of the root relaxation solution
+        # partition-repaired roundings of the root relaxation solution.
+        # Runs on ANY finite root point — an ITERATION_LIMIT root (f32
+        # tail floor) still carries a perfectly roundable near-solution,
+        # and skipping it left the whole tree incumbent-less (round 1).
         if node.nid == 0 and self.ub >= _INF and \
-                status == EngineStatus.SOLVED_OPTIMAL and \
-                self.sp.int_mask.any():
+                self.sp.int_mask.any() and np.all(np.isfinite(x)):
             self._root_rounding(x, nvlb, nvub)
         # root strong branching initializes pseudocosts (one batched call)
         if not getattr(self, "_strong_branch_done", True) and \
                 status == EngineStatus.SOLVED_OPTIMAL:
             self._strong_branch_init(x, nvlb, nvub, float(bound_for_prune))
+        # in-tree reliability probes: queue bound probes for unreliable
+        # fractional candidates at this node (results land next superstep)
+        if self._brancher == "rel" and self._rel_thresh > 0:
+            ints = self.sp.int_mask
+            fr = np.where(ints, np.abs(x - np.round(x)), 0.0)
+            fr = np.where(nvub - nvlb > 1e-9, fr, 0.0)
+            cand = np.where(fr > self._int_tol)[0]
+            if len(cand) > 1 and np.isfinite(bound_for_prune):
+                K = min(int(self.env.options.get("rel_cands")), len(cand))
+                top = cand[np.argsort(-fr[cand])[:K]]
+                self._enqueue_probes(x, nvlb, nvub, top,
+                                     parent_db=float(bound_for_prune))
         # branching variable selection: pseudocost product rule when the
         # brancher is 'rel' and costs are observed; otherwise the device's
         # most-fractional candidate (reference MaxVioBrancher)
@@ -569,31 +639,56 @@ class BranchAndBound:
                        [vs[i] for i in range(0, mid)]
         return None
 
-    def _root_rounding(self, x: np.ndarray, nvlb, nvub) -> None:
-        """Cheap root incumbents from (partition-repaired) roundings —
-        no extra solves, just host evaluation."""
-        from .heuristics import find_partition_rows, partition_round
+    @property
+    def _partition_rows(self):
+        if not hasattr(self, "_part_rows_cache"):
+            from .heuristics import find_partition_rows
+            self._part_rows_cache = find_partition_rows(
+                self.sp.A, self.sp.clb, self.sp.cub, self.sp.int_mask,
+                self.sp.nl_rows)
+        return self._part_rows_cache
+
+    def _try_round_incumbent(self, x: np.ndarray, nvlb, nvub) -> bool:
+        """Rounding + partition repair + 1-swap local search on one
+        relaxation point — host-only, no solves.  Returns True if an
+        incumbent was accepted.  (reference analogue: rounding phase of
+        MINLPDiving + improvement phase of MultiSolHeur)"""
+        from .heuristics import partition_round, swap_local_search
         cands = []
         xr = np.clip(x, nvlb, nvub)
         xr[self.sp.int_mask] = np.round(xr[self.sp.int_mask])
         cands.append(xr)
-        parts = find_partition_rows(self.sp.A, self.sp.clb, self.sp.cub,
-                                    self.sp.int_mask, self.sp.nl_rows)
+        parts = self._partition_rows
         if parts:
             rng = np.random.default_rng(0)
             for noise in (0.0, 0.2, 0.4):
                 cands.append(partition_round(x, parts, self.sp.int_mask,
                                              rng=rng, noise=noise))
+            # 1-swap local search on the repaired roundings: on
+            # assignment-structured MIQPs (color_lab) this is the
+            # difference between a 40%-gap incumbent and a near-optimum
+            if self.sp.obj_nl is None and not len(self.sp.nl_rows):
+                Qobj = self.sp.Qobj
+                for base in list(cands[1:3]):
+                    cands.append(swap_local_search(
+                        base, parts, self.sp.c, Qobj))
         # staged master/reformulated problems append auxiliary variables
         # (QG/OA epigraph eta, bin2lin binaries) AFTER the original ones;
         # candidates are judged against the original problem only
         nv = self.problem.n_vars
+        found = False
         for cand in cands:
             cand = cand[:nv]
             if self.problem.is_feasible(cand, atol=1e-5,
                                         int_tol=self._int_tol):
-                self._accept_incumbent(
+                found |= self._accept_incumbent(
                     cand, float(self.problem.eval_objective(cand)))
+        return found
+
+    def _root_rounding(self, x: np.ndarray, nvlb, nvub) -> None:
+        """Cheap root incumbents from (partition-repaired) roundings —
+        no extra solves, just host evaluation."""
+        self._try_round_incumbent(x, nvlb, nvub)
         opts = self.env.options
         seed = int(opts.get("rand_seed"))
         if opts.get("samplingheur"):
@@ -681,6 +776,83 @@ class BranchAndBound:
                 else:
                     self._pc_up[j] = gain
                     self._pc_up_cnt[j] = 1
+
+    # ------------------------------------------- reliability branching
+    def _pop_probes(self, k: int) -> List[tuple]:
+        """Drain up to k queued strong-branch probes (bounded further by
+        strbr_iter_limit per superstep)."""
+        if k <= 0 or not self._probe_queue:
+            return []
+        k = min(k, self._strbr_limit) if self._strbr_limit else k
+        out = self._probe_queue[:k]
+        self._probe_queue = self._probe_queue[k:]
+        for p in out:
+            key = (p[0], p[1])
+            self._probe_pending[key] = max(
+                0, self._probe_pending.get(key, 0) - 1)
+        return out
+
+    def _enqueue_probes(self, x: np.ndarray, nvlb: np.ndarray,
+                        nvub: np.ndarray, cand: np.ndarray,
+                        parent_db: float = float("nan")) -> None:
+        """Queue down/up bound-probe boxes for unreliable candidates at
+        this node (reference: ReliabilityBrancher.cpp:161-236 probes them
+        synchronously per node; here they ride the next superstep's
+        padding lanes and feed pseudocosts one batch later)."""
+        if self._rel_thresh <= 0 or len(self._probe_queue) >= 4 * self._batch:
+            return
+        warm_y = self._lane_warm_y()
+        # most fractional first: the candidates most likely to be branched
+        frac = np.abs(x[cand] - np.round(x[cand]))
+        for j in cand[np.argsort(-frac)]:
+            j = int(j)
+            f = x[j] - math.floor(x[j])
+            for side in (0, 1):
+                cnt = self._pc_down_cnt[j] if side == 0 else self._pc_up_cnt[j]
+                pend = self._probe_pending.get((j, side), 0)
+                if cnt + pend >= self._rel_thresh:
+                    continue
+                lo = math.floor(x[j])
+                pvlb, pvub = nvlb.copy(), nvub.copy()
+                if side == 0:
+                    pvub[j] = lo
+                    fs = max(f, 1e-6)
+                else:
+                    pvlb[j] = lo + 1
+                    fs = max(1.0 - f, 1e-6)
+                self._probe_queue.append(
+                    (j, side, fs, pvlb, pvub, x.copy(), warm_y,
+                     parent_db))
+                self._probe_pending[(j, side)] = pend + 1
+                if len(self._probe_queue) >= 4 * self._batch:
+                    return
+
+    def _process_probes(self, probes: List[tuple], res, offset: int) -> None:
+        """Fold probe-lane results into the pseudocosts.  Probe bounds
+        are only ever used for branching scores — never pruning — so an
+        unconverged probe is still useful data."""
+        db = np.asarray(res.dual_bound)
+        status = np.asarray(res.status)
+        for i, (j, side, fs, pvlb, pvub, px, py, pdb) in enumerate(probes):
+            lane = offset + i
+            parent = pdb
+            if not np.isfinite(parent):
+                parent = self.lb if np.isfinite(self.lb) else 0.0
+            d = db[lane]
+            if status[lane] == EngineStatus.SOLVED_INFEASIBLE or d >= 1e15:
+                gain = 1e3
+            elif d > -_INF:
+                gain = max(0.0, float(d) - parent) / fs
+            else:
+                continue
+            if side == 0:
+                c = self._pc_down_cnt[j]
+                self._pc_down[j] = (self._pc_down[j] * c + gain) / (c + 1)
+                self._pc_down_cnt[j] = c + 1
+            else:
+                c = self._pc_up_cnt[j]
+                self._pc_up[j] = (self._pc_up[j] * c + gain) / (c + 1)
+                self._pc_up_cnt[j] = c + 1
 
     def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
                            bvar: int, bval: float):
