@@ -69,18 +69,39 @@ class BranchAndBound:
         self._abs_tol = float(opts.get("solAbs_tol"))
         self._rel_tol = float(opts.get("solRel_tol"))
         self._int_tol = float(opts.get("int_tol"))
+        self._feas_atol = max(float(opts.get("feasAbs_tol")), 1e-6)
+        self._feas_rtol = max(float(opts.get("feasRel_tol")), 1e-6)
+        self._obj_gap_pct = float(opts.get("obj_gap_percent"))
+        self._eval_within = bool(opts.get("eval_within_bnds"))
         self._node_limit = int(opts.get("bnb_node_limit"))
         self._time_limit = float(opts.get("bnb_time_limit"))
         self._sol_limit = int(opts.get("bnb_sol_limit"))
         self._log_interval = float(opts.get("bnb_log_interval"))
         self._batch = max(1, int(opts.get("node_batch")))
+        # reference CLI parity: `threads` sets the parallel width, which
+        # on TPU is the node-batch axis (only when node_batch untouched)
+        if int(opts.get("threads")) > 0 and \
+                not opts.find("node_batch").was_set:
+            self._batch = max(1, int(opts.get("threads")))
         self._pad_full = bool(opts.get("pad_full"))
+        # dtype policy -> IPM factorization/iteration dtypes: "mixed"
+        # (default) = f32 factorizations + f64 block corrections;
+        # "f32" = all-f32 iteration arithmetic (light phase, f32 tail
+        # corrections); "f64" = full f64 factorizations (slow on TPU,
+        # for accuracy triage)
+        dt = str(opts.get("dtype"))
+        dt_kw = {}
+        if dt == "f64":
+            dt_kw = dict(factor_f32=False, tail_factor_f32=False)
+        elif dt == "f32":
+            dt_kw = dict(light_phase1=True, tail_corr_f32=True)
         step_opts = StepOptions(
             int_tol=self._int_tol,
             fbbt_rounds=int(opts.get("fbbt_rounds")) if opts.get("nl_presolve") else 0,
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
                            tol=float(opts.get("ipm_tol")),
-                           use_pallas=bool(opts.get("ipm_use_pallas"))))
+                           use_pallas=bool(opts.get("ipm_use_pallas")),
+                           **dt_kw))
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
         # PSD-QP relaxations also get certified dual bounds from the
@@ -134,6 +155,7 @@ class BranchAndBound:
 
     def _should_stop(self, t0: float) -> Optional[SolveStatus]:
         if self._gap() <= self._rel_tol or \
+           self._gap() * 100.0 <= self._obj_gap_pct or \
            (self.ub - self.lb) <= self._abs_tol:
             return SolveStatus.SOLVED_OPTIMAL
         if self.stats.nodes_processed >= self._node_limit:
@@ -224,71 +246,41 @@ class BranchAndBound:
             self.tm.insert_root(root)
         next_id = max((t[2].nid for t in self.tm._heap), default=-1) + 1
 
-        while len(self.tm):
+        # pipelined superstep loop: dispatch batch k+1 BEFORE processing
+        # batch k's results, so host bookkeeping (tree ops, incumbents,
+        # feasibility checks) overlaps device compute of the next batch.
+        # Sound because the two batches hold DISJOINT nodes; the only
+        # effect is one-batch-stale cutoffs/pseudocosts, and every prune
+        # decision is re-made at processing time.  (reference analogue:
+        # ParBranchAndBound::parsolveOppor's threads-grab-nodes overlap,
+        # ParBranchAndBound.cpp:530 — here the "second thread" is the
+        # device.)
+        pipeline = bool(opts.get("bnb_pipeline"))
+        pending = None        # (batch, probes, handle, t_dispatch)
+        self._inflight_nodes = []
+
+        while len(self.tm) or pending is not None:
             stop = self._should_stop(t0)
             if stop is not None:
                 self.status = stop
                 break
-
             self.tm.set_cutoff(self._cutoff())
-            batch = self.tm.pop_batch(self._batch)
-            if not batch:
-                break
-            batch = self._expand_batch(batch)
-            B = len(batch)
-            # pad to a bucket size to bound recompiles; geometric ladder
-            # 1, 4, 16, 64, ... keeps compiles to log4(batch) total, or a
-            # single full-size bucket when pad_full is set (TPU supersteps
-            # are latency-bound, so padding is nearly free and one compile
-            # beats the ladder)
-            if getattr(self, "_pad_full", False):
-                bucket = self._batch
-            else:
-                bucket = 1
-                while bucket < B:
-                    bucket *= 4
-                bucket = min(bucket, self._batch)
-            # strong-branch probes fill otherwise-wasted padding lanes
-            probes = self._pop_probes(bucket - B)
-            while B + len(probes) < bucket:
-                batch.append(batch[0])
-                B += 1
-
-            t_d0 = time.monotonic()
-            vlb_b = np.stack([nd.vlb for nd in batch] +
-                             [p[3] for p in probes])
-            vub_b = np.stack([nd.vub for nd in batch] +
-                             [p[4] for p in probes])
-            x0_b = np.concatenate(
-                [self._lane_starts(batch),
-                 np.stack([p[5] for p in probes])]) if probes \
-                else self._lane_starts(batch)
-            y0_b = np.concatenate(
-                [self._lane_duals(batch),
-                 np.stack([p[6] if p[6] is not None and
-                           p[6].shape[0] == self.sp.m
-                           else np.zeros(self.sp.m) for p in probes])]) \
-                if probes else self._lane_duals(batch)
-            res = self._run_step(vlb_b, vub_b, x0_b, y0_b)
-            # materialize one scalar field: blocks until the device
-            # program finished (block_until_ready is unreliable through
-            # the axon tunnel; a d2h transfer is the only true sync)
-            np.asarray(res.status)
-            t_d1 = time.monotonic()
-            self.stats.t_device += t_d1 - t_d0
-            self.stats.batches += 1
-            self.stats.solves += B
-
-            next_id = self._handle_batch(batch, res, next_id)
-            if probes:
-                self._process_probes(probes, res, offset=len(batch))
-            self.stats.t_host += time.monotonic() - t_d1
-
-            # recompute global lower bound (capped by unresolved leaves)
-            open_lb = min(self.tm.best_lb(), self.unresolved_lb)
-            self.lb = min(open_lb, self.ub)
-            self.stats.nodes_processed = self.tm.nodes_processed
-            self.stats.nodes_created = self.tm.nodes_created
+            cur = None
+            if len(self.tm):
+                t_d0 = time.monotonic()
+                prep = self._prepare_batch()
+                if prep is not None:
+                    batch, probes, arrays = prep
+                    handle = self._dispatch_step(*arrays)
+                    cur = (batch, probes, handle, t_d0)
+            if not pipeline and cur is not None:
+                # serial mode: process immediately, nothing stays in flight
+                next_id = self._finish_batch(cur, next_id)
+                cur = None
+            if pending is not None:
+                next_id = self._finish_batch(pending, next_id)
+            pending = cur
+            self._inflight_nodes = pending[0] if pending is not None else []
 
             now = time.monotonic()
             if now - last_log >= self._log_interval:
@@ -298,9 +290,20 @@ class BranchAndBound:
                     f"open {len(self.tm):7d}  lb {self.lb:.8g}  ub {self.ub:.8g} "
                     f" gap {self._gap() * 100:.4g}%")
             if ckpt_file and now - last_ckpt >= ckpt_interval:
+                # flush the pipeline first: in-flight nodes are popped
+                # from the tree and would be LOST by a resume otherwise
+                if pending is not None:
+                    next_id = self._finish_batch(pending, next_id)
+                    pending = None
+                    self._inflight_nodes = []
                 last_ckpt = now
                 from .checkpoint import save_checkpoint
                 save_checkpoint(ckpt_file, self)
+        # drain the pipeline on any exit path (results are already
+        # computed; discarding them would lose popped subtrees' bounds)
+        if pending is not None:
+            next_id = self._finish_batch(pending, next_id)
+            self._inflight_nodes = []
 
         if self.status in (SolveStatus.STARTED, SolveStatus.NOT_STARTED):
             # tree exhausted
@@ -317,6 +320,95 @@ class BranchAndBound:
             self.lb = self.ub if self.ub < _INF else self.lb
         self.stats.time = time.monotonic() - t0
         return self.status
+
+    def _prepare_batch(self):
+        """Pop + expand + pad one superstep batch.  Returns
+        (batch, probes, (vlb_b, vub_b, x0_b, y0_b)) or None."""
+        batch = self.tm.pop_batch(self._batch)
+        if not batch:
+            return None
+        batch = self._expand_batch(batch)
+        B = len(batch)
+        # pad to a bucket size to bound recompiles; geometric ladder
+        # 1, 4, 16, 64, ... keeps compiles to log4(batch) total, or a
+        # single full-size bucket when pad_full is set (TPU supersteps
+        # are latency-bound, so padding is nearly free and one compile
+        # beats the ladder)
+        if getattr(self, "_pad_full", False):
+            bucket = self._batch
+        else:
+            bucket = 1
+            while bucket < B:
+                bucket *= 4
+            bucket = min(bucket, self._batch)
+        # strong-branch probes fill otherwise-wasted padding lanes
+        probes = self._pop_probes(bucket - B)
+        while B + len(probes) < bucket:
+            batch.append(batch[0])
+            B += 1
+        vlb_b = np.stack([nd.vlb for nd in batch] + [p[3] for p in probes])
+        vub_b = np.stack([nd.vub for nd in batch] + [p[4] for p in probes])
+        x0_b = np.concatenate(
+            [self._lane_starts(batch), np.stack([p[5] for p in probes])]) \
+            if probes else self._lane_starts(batch)
+        m = self.sp.m
+        y0_b = np.concatenate(
+            [self._lane_duals(batch),
+             np.stack([p[6] if p[6] is not None and p[6].shape[0] == m
+                       else np.zeros(m) for p in probes])]) \
+            if probes else self._lane_duals(batch)
+        return batch, probes, (vlb_b, vub_b, x0_b, y0_b)
+
+    def _finish_batch(self, entry, next_id: int) -> int:
+        """Fetch one in-flight superstep (blocks on the single d2h
+        transfer) and run all host bookkeeping on it."""
+        batch, probes, handle, t_d0 = entry
+        res = self._fetch_step(handle)
+        t_d1 = time.monotonic()
+        self.stats.t_device += t_d1 - t_d0
+        self.stats.batches += 1
+        self.stats.solves += len(batch) + len(probes)
+        next_id = self._handle_batch(batch, res, next_id)
+        if probes:
+            self._process_probes(probes, res, offset=len(batch))
+        self.stats.t_host += time.monotonic() - t_d1
+        # recompute global lower bound (capped by unresolved leaves and
+        # by any nodes still in flight)
+        open_lb = min(self.tm.best_lb(), self.unresolved_lb)
+        for nd in self._inflight_nodes:
+            open_lb = min(open_lb, nd.lb)
+        self.lb = min(open_lb, self.ub)
+        self.stats.nodes_processed = self.tm.nodes_processed
+        self.stats.nodes_created = self.tm.nodes_created
+        return next_id
+
+    def _device_consts(self):
+        """Device-resident (A, clb, cub): shipping A through the device
+        tunnel every superstep costs more than the solve itself."""
+        if self._dev_consts is None:
+            import jax.numpy as jnp
+            self._dev_consts = (jnp.asarray(self.sp.A),
+                                jnp.asarray(self.sp.clb),
+                                jnp.asarray(self.sp.cub))
+        return self._dev_consts
+
+    def _dispatch_step(self, vlb_b, vub_b, x0_b, y0_b=None):
+        """Launch one superstep asynchronously; returns a handle for
+        _fetch_step.  Falls back to synchronous execution for step
+        functions without an async surface."""
+        A, clb, cub = self._device_consts()
+        if y0_b is None:
+            y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
+        if hasattr(self._step, "dispatch"):
+            return ("async", self._step.dispatch(A, clb, cub, vlb_b, vub_b,
+                                                 x0_b, y0_b))
+        return ("sync", self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b))
+
+    def _fetch_step(self, handle):
+        kind, payload = handle
+        if kind == "async":
+            return self._step.unpack(payload)
+        return payload
 
     def _expand_batch(self, batch: List[Node]) -> List[Node]:
         """Lane-expansion hook: MsBranchAndBound replicates each node
@@ -499,13 +591,16 @@ class BranchAndBound:
             # relaxation solution is MINLP-feasible: candidate incumbent.
             # Clip into the node box (IPM interior tolerance can leave
             # continuous vars epsilon outside) and round the integers.
-            xr = np.clip(x, nvlb, nvub)
+            xr = np.clip(x, nvlb, nvub) if self._eval_within else x.copy()
             ints = self.sp.int_mask
             xr[ints] = np.round(xr[ints])
             accepted = None
-            if self.problem.is_feasible(xr, atol=1e-5, int_tol=self._int_tol):
+            feas = lambda p: self.problem.is_feasible(
+                p, atol=max(self._feas_atol, 1e-5), int_tol=self._int_tol,
+                rtol=self._feas_rtol)
+            if feas(xr):
                 accepted = (xr, float(self.problem.eval_objective(xr)))
-            elif self.problem.is_feasible(x, atol=1e-5, int_tol=self._int_tol):
+            elif feas(x):
                 accepted = (x.copy(), float(self.problem.eval_objective(x)))
             if accepted is not None:
                 xbest, val = accepted
@@ -679,11 +774,68 @@ class BranchAndBound:
         found = False
         for cand in cands:
             cand = cand[:nv]
-            if self.problem.is_feasible(cand, atol=1e-5,
-                                        int_tol=self._int_tol):
+            if self.problem.is_feasible(cand,
+                                        atol=max(self._feas_atol, 1e-5),
+                                        int_tol=self._int_tol,
+                                        rtol=self._feas_rtol):
                 found |= self._accept_incumbent(
                     cand, float(self.problem.eval_objective(cand)))
         return found
+
+    def _root_dive(self, x: np.ndarray, nvlb: np.ndarray,
+                   nvub: np.ndarray, lanes: int = 8, rounds: int = 16
+                   ) -> None:
+        """Fractional diving at the root (reference: MINLPDiving.cpp,
+        `divheur`): each lane progressively fixes its least-fractional
+        unfixed integers and re-solves through the fused superstep; the
+        FBBT inside the step propagates fixings for free.  Lanes differ
+        by tie-break noise.  Fully-fixed feasible lanes become incumbent
+        candidates (rounded + repaired)."""
+        ints = np.where(self.sp.int_mask)[0]
+        if len(ints) == 0 or not np.all(np.isfinite(x)):
+            return
+        if getattr(self, "_pad_full", False):
+            lanes = self._batch   # reuse the single compiled bucket
+        rng = np.random.default_rng(int(self.env.options.get("rand_seed"))
+                                    + 23)
+        vlb = np.tile(nvlb, (lanes, 1))
+        vub = np.tile(nvub, (lanes, 1))
+        xs = np.tile(x, (lanes, 1))
+        alive = np.ones(lanes, dtype=bool)
+        for r in range(rounds):
+            unfixed = (vub[:, ints] - vlb[:, ints]) > 0.5
+            n_unfixed = unfixed.sum(axis=1)
+            for b in np.where(alive)[0]:
+                nu = int(n_unfixed[b])
+                if nu == 0 or not np.isfinite(xs[b]).all():
+                    continue
+                k = max(1, nu // max(2, rounds - 1 - r))
+                frac = np.abs(xs[b, ints] - np.round(xs[b, ints]))
+                if b:
+                    frac = frac + rng.uniform(0, 0.05, size=len(ints))
+                frac[~unfixed[b]] = np.inf
+                pick = ints[np.argsort(frac)[:k]]
+                v = np.clip(np.round(xs[b, pick]), vlb[b, pick],
+                            vub[b, pick])
+                vlb[b, pick] = v
+                vub[b, pick] = v
+            res = self._run_step(vlb, vub, xs)
+            self.stats.solves += lanes
+            status = np.asarray(res.status)
+            db = np.asarray(res.dual_bound)
+            xs = np.asarray(res.x)
+            vlb = np.asarray(res.new_vlb).copy()
+            vub = np.asarray(res.new_vub).copy()
+            alive &= (status != EngineStatus.SOLVED_INFEASIBLE) & (db < 1e15)
+            if not alive.any():
+                return
+            done = alive & \
+                ((vub[:, ints] - vlb[:, ints]) <= 0.5).all(axis=1)
+            for b in np.where(done)[0]:
+                self._try_round_incumbent(xs[b], vlb[b], vub[b])
+                alive[b] = False
+            if not alive.any():
+                return
 
     def _root_rounding(self, x: np.ndarray, nvlb, nvub) -> None:
         """Cheap root incumbents from (partition-repaired) roundings —
@@ -691,6 +843,17 @@ class BranchAndBound:
         self._try_round_incumbent(x, nvlb, nvub)
         opts = self.env.options
         seed = int(opts.get("rand_seed"))
+        if opts.get("divheur"):
+            self._root_dive(x, nvlb, nvub)
+        if opts.get("msheur"):
+            # multistart heuristic (reference NLPMultiStart): best of many
+            # random-start relaxation solves, rounded+repaired
+            from .multistart import multistart_solve
+            bx, bobj, _ = multistart_solve(
+                self.sp, self.problem, n_starts=16, seed=seed,
+                vlb=nvlb, vub=nvub)
+            if bx is not None:
+                self._try_round_incumbent(bx, nvlb, nvub)
         if opts.get("samplingheur"):
             from .heuristics import SamplingHeur
             for xx, val in SamplingHeur(self.problem, self.sp,
@@ -750,9 +913,12 @@ class BranchAndBound:
             boxes_lo.extend([nvlb.copy(), up_lo])
             boxes_hi.extend([down_hi, nvub.copy()])
         B = len(boxes_lo)
-        bucket = 1
-        while bucket < B:
-            bucket *= 4
+        if getattr(self, "_pad_full", False):
+            bucket = max(self._batch, B)   # reuse the compiled bucket
+        else:
+            bucket = 1
+            while bucket < B:
+                bucket *= 4
         while len(boxes_lo) < bucket:
             boxes_lo.append(boxes_lo[0])
             boxes_hi.append(boxes_hi[0])
@@ -892,6 +1058,14 @@ class BranchAndBound:
             f = x[cand] - np.floor(x[cand])
             score = np.maximum(pd * f, 1e-8) * np.maximum(pu * (1 - f),
                                                           1e-8)
+            # blend in fractionality (reference brancher fractional
+            # weight, `br_frac_weight`): both terms normalized to [0,1]
+            # over the candidate set so the weight is scale-free
+            w = float(self.env.options.get("br_frac_weight"))
+            if w > 0:
+                fr2 = np.minimum(f, 1.0 - f)
+                score = (1.0 - w) * score / max(score.max(), 1e-12) + \
+                    w * fr2 / max(fr2.max(), 1e-12)
             j = cand[int(np.argmax(score))]
         return int(j), float(x[j])
 

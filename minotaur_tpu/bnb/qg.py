@@ -90,7 +90,10 @@ class QGBranchAndBound(BranchAndBound):
         env = env or Environment()
         sp = stage_problem(problem)
         self.sp_orig = sp
-        self.max_cuts = int(env.options.get("qg_max_cuts"))
+        # qg_max_cuts sizes the QG pool; cut_pool_capacity is the global
+        # cut budget across ALL generators (reference CutManager capacity)
+        self.max_cuts = min(int(env.options.get("qg_max_cuts")),
+                            int(env.options.get("cut_pool_capacity")))
         master = _build_master(sp, self.max_cuts)
         self.has_eta = master.n == sp.n + 1
         super().__init__(problem, env=env, staged=master)

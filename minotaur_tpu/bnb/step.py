@@ -159,17 +159,65 @@ def build_node_step_unjitted(sp: StagedProblem,
     return step_one
 
 
+def pack_step_result(jnp, res: StepResult) -> "jnp.ndarray":
+    """Flatten a batched StepResult into ONE (B, 4n+m+10) f64 array inside
+    the jitted program.  Device->host transfers through the TPU tunnel
+    cost ~0.1-0.25 s of latency EACH (measured: 16 per-field fetches ate
+    more wall time than the solve itself), so the driver fetches exactly
+    one array per superstep and unpacks host-side."""
+    scalars = [res.status, res.obj, res.dual_bound, res.int_feasible,
+               res.branch_var, res.branch_val, res.max_frac,
+               res.fbbt_infeas, res.kkt_err, res.iters]
+    cols = [jnp.stack([s.astype(jnp.float64) for s in scalars], axis=1),
+            res.x, res.new_vlb, res.new_vub, res.frac, res.y]
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_step_result(arr: np.ndarray, n: int, m: int) -> StepResult:
+    """Host-side inverse of pack_step_result (numpy views, zero copy)."""
+    s = arr[:, :10]
+    o = 10
+    x = arr[:, o:o + n]; o += n
+    nvlb = arr[:, o:o + n]; o += n
+    nvub = arr[:, o:o + n]; o += n
+    frac = arr[:, o:o + n]; o += n
+    y = arr[:, o:o + m]; o += m
+    return StepResult(
+        status=s[:, 0].astype(np.int32), obj=s[:, 1], dual_bound=s[:, 2],
+        x=x, int_feasible=s[:, 3] > 0.5,
+        branch_var=s[:, 4].astype(np.int32), branch_val=s[:, 5],
+        max_frac=s[:, 6], new_vlb=nvlb, new_vub=nvub,
+        fbbt_infeas=s[:, 7] > 0.5, frac=frac, y=y, kkt_err=s[:, 8],
+        iters=s[:, 9].astype(np.int32))
+
+
 def build_node_step(sp: StagedProblem, opts: StepOptions = StepOptions()
                     ) -> Callable:
-    """Returns step(A, clb, cub, vlb_b, vub_b, x0_b) -> StepResult,
-    jitted and vmapped; A/clb/cub traced so cut updates never recompile."""
+    """Returns step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b) -> StepResult
+    with HOST (numpy) leaves; A/clb/cub traced so cut updates never
+    recompile.  The jitted program packs all outputs into one array so
+    the superstep costs exactly one device->host transfer."""
     import jax
+    import jax.numpy as jnp
 
     step_one = build_node_step_unjitted(sp, opts)
 
     @functools.partial(jax.jit)
-    def step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b):
-        return jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0, 0))(
+    def step_packed(A, clb, cub, vlb_b, vub_b, x0_b, y0_b):
+        res = jax.vmap(step_one, in_axes=(None, None, None, 0, 0, 0, 0))(
             A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
+        return pack_step_result(jnp, res)
 
+    n, m = sp.n, sp.m
+
+    def step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b):
+        packed = step_packed(A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
+        return unpack_step_result(np.asarray(packed), n, m)
+
+    # async surface for the pipelined driver: dispatch returns the device
+    # array immediately (XLA runs it asynchronously); unpack blocks on the
+    # one d2h transfer.  Host bookkeeping of batch k overlaps device
+    # compute of batch k+1.
+    step.dispatch = step_packed
+    step.unpack = lambda packed: unpack_step_result(np.asarray(packed), n, m)
     return step

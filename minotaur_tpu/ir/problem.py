@@ -159,7 +159,12 @@ class Problem:
         return np.array([c.fun.eval(x) for c in self.cons], dtype=np.float64)
 
     def is_feasible(self, x: np.ndarray, atol: float = 1e-6,
-                    int_tol: float = 1e-6) -> bool:
+                    int_tol: float = 1e-6, rtol: float = None) -> bool:
+        """Feasibility at x: bounds, integrality, rows.  Row tolerance is
+        atol + rtol*|bound| (reference feasAbs_tol / feasRel_tol
+        semantics; rtol defaults to atol for backward compatibility)."""
+        if rtol is None:
+            rtol = atol
         lb, ub = self.var_bounds()
         if np.any(x < lb - atol) or np.any(x > ub + atol):
             return False
@@ -168,8 +173,8 @@ class Problem:
                 return False
         g = self.eval_constraints(x)
         for c, gi in zip(self.cons, g):
-            if gi < c.lb - atol * max(1.0, abs(c.lb)) or \
-               gi > c.ub + atol * max(1.0, abs(c.ub)):
+            if gi < c.lb - (atol + rtol * abs(c.lb)) or \
+               gi > c.ub + (atol + rtol * abs(c.ub)):
                 return False
         return True
 

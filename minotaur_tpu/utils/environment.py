@@ -107,12 +107,17 @@ def _create_default_options(db: OptionDB) -> None:
         "(reference QPDProcessor, as a primal heuristic)", False)
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
+    ins("bnb_pipeline", bool, "overlap host bookkeeping of batch k with "
+        "device compute of batch k+1 (disjoint nodes; one-batch-stale "
+        "cutoffs only)", True)
     ins("msbnb_restarts", int, "multistart restart lanes per node in "
         "msbnb (reference MsProcessor msbnb_restarts; 1 disables)", 4)
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
         "bucket; padding is nearly free on latency-bound TPU supersteps)",
         False)
-    ins("dtype", str, "compute dtype: f64/f32", "f64")
+    ins("dtype", str, "IPM dtype policy: mixed (f32 factorizations + f64 "
+        "block corrections, the TPU-tuned default) / f32 (all-f32 "
+        "iteration arithmetic) / f64 (full f64 factorizations)", "mixed")
     ins("mesh_hosts", int, "hosts in the device mesh (node-pool partitions)", 1)
     ins("lb_frequency", int, "supersteps between cross-host load balances "
         "(reference MpiBranchAndBound lb_frequency)", 8)

@@ -39,7 +39,8 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update("jax_enable_x64", True)
+    # NOTE: x64 deliberately NOT enabled — every benchmarked array is f32
+    # and host-side np.linalg.inv already runs in f64 regardless
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -76,12 +77,16 @@ def main():
         return dt
 
     def loop(body):
-        # REP dependent evaluations inside one jit (amortizes dispatch);
-        # the accumulator feeds back a ~0 perturbation so XLA cannot hoist
+        # REP dependent evaluations inside one jit (amortizes dispatch).
+        # The accumulator folds a FULL reduction of the output back into
+        # the next iteration's input so every batch lane is data-dependent
+        # on the previous output (out[0,0,0] alone would let XLA prune the
+        # other 63 lanes), and the perturbation is scaled to stay well
+        # above f32 resolution without changing the matrices materially.
         def fn(M, X):
             def it(i, acc):
-                out = body(M * (1.0 + acc * 1e-30), X)
-                return jnp.float32(out[0, 0, 0])
+                out = body(M * (1.0 + acc * 1e-12), X)
+                return jnp.float32(jnp.sum(out) * 1e-12)
             return jax.lax.fori_loop(0, REP, it, jnp.float32(0.0))
         return fn
 
@@ -112,11 +117,18 @@ def main():
     timed("solve_eye", loop(solve_eye), Md, Xd)
     timed("ns_refresh(2)", loop(ns2), Md, Xd)
 
-    # accuracy of ns refresh vs true inverse (f32)
-    import jax.numpy as jnp2
-    X2 = np.asarray(jax.jit(ns2)(Md, Xd))
-    R = np.eye(n, dtype=np.float32)[None] - M @ X2
-    print(f"ns2 residual |I-MX| max={np.abs(R).max():.3g}", flush=True)
+    # accuracy of ns refresh vs true inverse.  Forced f32 matmul precision:
+    # the TPU default (bf16 passes) dominates the residual and made NS
+    # look ~350x less converged than it is (CPU f32 gives ~2.3e-05).  The
+    # primary argument against NS refresh remains the barrier diagonal's
+    # per-iteration swing, not this residual.
+    with jax.default_matmul_precision("float32"):
+        X2 = np.asarray(jax.jit(ns2)(Md, Xd))
+    R = np.eye(n, dtype=np.float32)[None] - \
+        np.einsum("bij,bjk->bik", M.astype(np.float64),
+                  X2.astype(np.float64))
+    print(f"ns2 residual |I-MX| max={np.abs(R).max():.3g} "
+          f"(f32-precision matmuls, f64 residual)", flush=True)
 
 
 if __name__ == "__main__":
