@@ -44,6 +44,10 @@ class BabStats:
     # phase breakdown: device+transfer wall vs host bookkeeping wall
     t_device: float = 0.0
     t_host: float = 0.0
+    # distributed: global load-balance rounds (reference: "times balanced"
+    # per-rank report, MpiBranchAndBound.cpp:408-436)
+    rebalances: int = 0
+    nodes_migrated: int = 0
 
 
 class BranchAndBound:
@@ -429,15 +433,10 @@ class BranchAndBound:
                          else np.zeros(m) for nd in batch])
 
     def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
-        if self._dev_consts is None:
-            import jax.numpy as jnp
-            self._dev_consts = (jnp.asarray(self.sp.A),
-                                jnp.asarray(self.sp.clb),
-                                jnp.asarray(self.sp.cub))
-        A, clb, cub = self._dev_consts
-        if y0_b is None:
-            y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
-        return self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
+        """Synchronous superstep (heuristics, dives, probes outside the
+        pipelined main loop)."""
+        return self._fetch_step(self._dispatch_step(vlb_b, vub_b, x0_b,
+                                                    y0_b))
 
     # ---------------------------------------------------------- per batch
     def _handle_batch(self, batch: List[Node], res, next_id: int,

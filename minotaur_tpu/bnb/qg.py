@@ -192,6 +192,10 @@ class QGBranchAndBound(BranchAndBound):
         self.mA[r, :] = coefs
         self.mclb[r] = lb
         self.mcub[r] = ub
+        # bump the cut epoch on EVERY pool write: slot replacement keeps
+        # n_cuts constant, so versioning on the count alone would serve
+        # stale device arrays after an eviction
+        self._cut_epoch = getattr(self, "_cut_epoch", 0) + 1
         self._cut_keys.add(key)
         self._cut_slot_key[slot] = key
         self._cut_last_active[slot] = self.stats.batches
@@ -466,18 +470,17 @@ class QGBranchAndBound(BranchAndBound):
     def _master_arrays(self):
         return self.mA, self.mclb, self.mcub
 
-    def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
+    def _device_consts(self):
         # device copies of the master arrays, refreshed only when the cut
         # pool changed (cheap bookkeeping beats re-uploading every step)
-        if getattr(self, "_dev_cut_version", -1) != self.n_cuts:
+        epoch = getattr(self, "_cut_epoch", 0)
+        if getattr(self, "_dev_cut_version", -1) != epoch or \
+                self._dev_consts is None:
             import jax.numpy as jnp
             self._dev_consts = (jnp.asarray(self.mA), jnp.asarray(self.mclb),
                                 jnp.asarray(self.mcub))
-            self._dev_cut_version = self.n_cuts
-        A, clb, cub = self._dev_consts
-        if y0_b is None:
-            y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
-        return self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b)
+            self._dev_cut_version = epoch
+        return self._dev_consts
 
     def _try_fixint_incumbents(self, x_master_batch: np.ndarray) -> None:
         """Fix integers at the given master-space points, solve the NLPs,
