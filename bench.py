@@ -75,6 +75,10 @@ def main():
     # color_lab QPs converge in ~8-16 IPM iterations; a tight budget keeps
     # unconverged lanes from dragging every superstep to the cap
     env.set_option("ipm_max_iters", 36)
+    # correction depth 4: measured ~25% faster on warm-child supersteps
+    # (0.76 -> 0.6 s at B=64) at the cost of a deeper root; children
+    # dominate the tree (see scripts/profile_superstep.py runs)
+    env.set_option("ipm_tail_kkt_rounds", 4)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
     env.set_option("log_level", 1)

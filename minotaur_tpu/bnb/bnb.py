@@ -63,7 +63,7 @@ class BranchAndBound:
         vbc = None
         if opts.get("vbc_file"):
             vbc = open(opts.get("vbc_file"), "w")
-        self.tm = TreeManager(order, vbc_stream=vbc)
+        self.tm = self._make_tree(order, vbc)
         self.stats = BabStats()
         self.ub = _INF                      # best incumbent value
         self.best_x: Optional[np.ndarray] = None
@@ -105,6 +105,8 @@ class BranchAndBound:
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
                            tol=float(opts.get("ipm_tol")),
                            use_pallas=bool(opts.get("ipm_use_pallas")),
+                           tail_kkt_rounds=int(
+                               opts.get("ipm_tail_kkt_rounds")),
                            **dt_kw))
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable
@@ -150,6 +152,20 @@ class BranchAndBound:
         self._probe_pending = {}  # (j, side) -> queued count
 
     # ------------------------------------------------------------- bounds
+    def _make_tree(self, order, vbc):
+        """Active-node store: the C++ slab store when it builds (option
+        `native_tree`, reference NodeHeap analogue), else the Python
+        heap."""
+        if self.env.options.get("native_tree"):
+            try:
+                from .tree import NativeTreeManager
+                return NativeTreeManager(order, vbc_stream=vbc,
+                                         n=self.sp.n, m=self.sp.m)
+            except Exception as e:
+                self.env.logger.debug(f"native treestore unavailable "
+                                      f"({e}); using python heap")
+        return TreeManager(order, vbc_stream=vbc)
+
     def _gap(self) -> float:
         if self.ub >= _INF:
             return _INF
@@ -248,7 +264,8 @@ class BranchAndBound:
                                 if self.problem.initial_point is not None
                                 else None))
             self.tm.insert_root(root)
-        next_id = max((t[2].nid for t in self.tm._heap), default=-1) + 1
+        next_id = max((nd.nid for nd in self.tm.iter_nodes()),
+                      default=-1) + 1
 
         # pipelined superstep loop: dispatch batch k+1 BEFORE processing
         # batch k's results, so host bookkeeping (tree ops, incumbents,

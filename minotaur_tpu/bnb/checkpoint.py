@@ -20,8 +20,11 @@ FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str, bab) -> None:
-    """Snapshot a BranchAndBound(-derived) search."""
-    nodes: List[Node] = [t[2] for t in bab.tm._heap]
+    """Snapshot a BranchAndBound(-derived) search.  Includes any nodes
+    the pipelined driver currently holds in flight (they are popped from
+    the tree; losing them would drop subtrees on resume)."""
+    nodes: List[Node] = list(bab.tm.iter_nodes()) + \
+        list(getattr(bab, "_inflight_nodes", []))
     n = bab.sp.n
     if nodes:
         vlb = np.stack([nd.vlb for nd in nodes])
@@ -63,7 +66,7 @@ def load_checkpoint(path: str, bab) -> None:
     bab.unresolved_lb = float(data["unresolved_lb"])
     bx = data["best_x"]
     bab.best_x = bx if bx.size else None
-    bab.tm._heap.clear()
+    bab.tm.clear()
     for k in range(data["vlb"].shape[0]):
         warm = data["warm"][k]
         node = Node(nid=int(data["nids"][k]), depth=int(data["depths"][k]),

@@ -21,6 +21,11 @@ _SRC = os.path.join(_DIR, "treestore.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
 
+#: scalar record layout (must match treestore.cpp kScalars block)
+SCAL_NID, SCAL_DEPTH, SCAL_LB, SCAL_BVAR, SCAL_BDIR, SCAL_BFRAC, \
+    SCAL_VIO, SCAL_PRED_ITERS, SCAL_TB, SCAL_HAS_X, SCAL_HAS_Y = range(11)
+N_SCALARS = 11
+
 
 def _build() -> None:
     subprocess.run(
@@ -38,24 +43,26 @@ def load_library() -> Optional[ctypes.CDLL]:
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
         lib = ctypes.CDLL(_SO)
+        lib.treestore_scalars.restype = ctypes.c_int64
+        if lib.treestore_scalars() != N_SCALARS:
+            _build()
+            lib = ctypes.CDLL(_SO)
+            lib.treestore_scalars.restype = ctypes.c_int64
     except Exception:
         return None
     c_dp = ctypes.POINTER(ctypes.c_double)
-    c_ip = ctypes.POINTER(ctypes.c_int64)
-    c_intp = ctypes.POINTER(ctypes.c_int)
     lib.treestore_create.restype = ctypes.c_void_p
-    lib.treestore_create.argtypes = [ctypes.c_int64, ctypes.c_int]
+    lib.treestore_create.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int]
     lib.treestore_destroy.argtypes = [ctypes.c_void_p]
-    lib.treestore_push.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
-        c_dp, c_dp, c_dp, ctypes.c_int, ctypes.c_int64]
+    lib.treestore_push.argtypes = [ctypes.c_void_p, c_dp, c_dp, c_dp,
+                                   c_dp, c_dp]
     lib.treestore_push_batch.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, c_ip, c_ip, c_dp, c_dp, c_dp,
-        c_dp, c_intp, c_ip]
+        ctypes.c_void_p, ctypes.c_int64, c_dp, c_dp, c_dp, c_dp, c_dp]
     lib.treestore_pop_batch.restype = ctypes.c_int64
     lib.treestore_pop_batch.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, c_dp, c_dp, c_dp,
-        c_intp, c_dp, c_ip, c_ip, c_ip, c_ip]
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, c_dp, c_dp,
+        c_dp, c_dp, c_dp, ctypes.POINTER(ctypes.c_int64)]
     lib.treestore_prune.restype = ctypes.c_int64
     lib.treestore_prune.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.treestore_best_lb.restype = ctypes.c_double
@@ -71,16 +78,18 @@ def _dp(a: np.ndarray):
 
 
 class NativeTreeStore:
-    """ctypes wrapper; same contract as bnb.tree.TreeManager's heap but
-    batch pops return dense slabs."""
+    """ctypes wrapper over the C++ slab store.  Nodes live as rows of
+    contiguous (scalars, vlb, vub, warm_x, warm_y) arrays; batch pops
+    return dense slabs ready for the device superstep."""
 
-    def __init__(self, n: int, order: int = 2):
+    def __init__(self, n: int, m: int = 0, order: int = 2):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native treestore unavailable")
         self._lib = lib
-        self._h = ctypes.c_void_p(lib.treestore_create(n, order))
+        self._h = ctypes.c_void_p(lib.treestore_create(n, m, order))
         self.n = n
+        self.m = m
 
     def __del__(self):  # pragma: no cover
         try:
@@ -90,62 +99,46 @@ class NativeTreeStore:
         except Exception:
             pass
 
-    def push(self, nid: int, depth: int, lb: float, vlb: np.ndarray,
-             vub: np.ndarray, warm: Optional[np.ndarray] = None,
-             bvar: int = -1) -> None:
+    def push(self, scal: np.ndarray, vlb: np.ndarray, vub: np.ndarray,
+             warm_x: Optional[np.ndarray] = None,
+             warm_y: Optional[np.ndarray] = None) -> None:
+        scal = np.ascontiguousarray(scal, dtype=np.float64)
+        assert scal.shape == (N_SCALARS,)
         vlb = np.ascontiguousarray(vlb, dtype=np.float64)
         vub = np.ascontiguousarray(vub, dtype=np.float64)
-        if warm is None:
-            w = np.zeros(self.n)
-            hw = 0
-        else:
-            w = np.ascontiguousarray(warm, dtype=np.float64)
-            hw = 1
-        self._lib.treestore_push(self._h, nid, depth, lb, _dp(vlb),
-                                 _dp(vub), _dp(w), hw, bvar)
+        wx = np.ascontiguousarray(warm_x, dtype=np.float64) \
+            if warm_x is not None else np.zeros(self.n)
+        wy = np.ascontiguousarray(warm_y, dtype=np.float64) \
+            if warm_y is not None else np.zeros(max(self.m, 1))
+        self._lib.treestore_push(self._h, _dp(scal), _dp(vlb), _dp(vub),
+                                 _dp(wx), _dp(wy))
 
-    def push_batch(self, nid: np.ndarray, depth: np.ndarray,
-                   lb: np.ndarray, vlb: np.ndarray, vub: np.ndarray,
-                   warm: np.ndarray, has_warm: np.ndarray,
-                   bvar: np.ndarray) -> None:
-        k = len(lb)
-        nid = np.ascontiguousarray(nid, dtype=np.int64)
-        depth = np.ascontiguousarray(depth, dtype=np.int64)
-        lb = np.ascontiguousarray(lb, dtype=np.float64)
+    def push_batch(self, scal: np.ndarray, vlb: np.ndarray,
+                   vub: np.ndarray, warm_x: np.ndarray,
+                   warm_y: np.ndarray) -> None:
+        k = scal.shape[0]
+        scal = np.ascontiguousarray(scal, dtype=np.float64)
         vlb = np.ascontiguousarray(vlb, dtype=np.float64)
         vub = np.ascontiguousarray(vub, dtype=np.float64)
-        warm = np.ascontiguousarray(warm, dtype=np.float64)
-        has_warm = np.ascontiguousarray(has_warm, dtype=np.int32)
-        bvar = np.ascontiguousarray(bvar, dtype=np.int64)
-        self._lib.treestore_push_batch(
-            self._h, k,
-            nid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            _dp(lb), _dp(vlb), _dp(vub), _dp(warm),
-            has_warm.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            bvar.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        warm_x = np.ascontiguousarray(warm_x, dtype=np.float64)
+        warm_y = np.ascontiguousarray(warm_y, dtype=np.float64)
+        self._lib.treestore_push_batch(self._h, k, _dp(scal), _dp(vlb),
+                                       _dp(vub), _dp(warm_x), _dp(warm_y))
 
     def pop_batch(self, k: int, cutoff: float = 1e300):
-        n = self.n
+        """-> (got, pruned, scal, vlb, vub, warm_x, warm_y) slabs."""
+        n, m = self.n, max(self.m, 1)
+        scal = np.empty((k, N_SCALARS))
         vlb = np.empty((k, n))
         vub = np.empty((k, n))
-        warm = np.empty((k, n))
-        has_warm = np.empty(k, dtype=np.int32)
-        lb = np.empty(k)
-        depth = np.empty(k, dtype=np.int64)
-        nid = np.empty(k, dtype=np.int64)
-        bvar = np.empty(k, dtype=np.int64)
+        wx = np.empty((k, n))
+        wy = np.empty((k, m))
         pruned = ctypes.c_int64(0)
         got = self._lib.treestore_pop_batch(
-            self._h, k, cutoff, _dp(vlb), _dp(vub), _dp(warm),
-            has_warm.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            _dp(lb), depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            nid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            bvar.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.byref(pruned))
-        return (got, pruned.value, vlb[:got], vub[:got], warm[:got],
-                has_warm[:got], lb[:got], depth[:got], nid[:got],
-                bvar[:got])
+            self._h, k, cutoff, _dp(scal), _dp(vlb), _dp(vub), _dp(wx),
+            _dp(wy), ctypes.byref(pruned))
+        return (got, pruned.value, scal[:got], vlb[:got], vub[:got],
+                wx[:got], wy[:got])
 
     def prune(self, cutoff: float) -> int:
         return int(self._lib.treestore_prune(self._h, cutoff))

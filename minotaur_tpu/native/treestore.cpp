@@ -3,13 +3,18 @@
 // Reference analogue: TreeManager + NodeHeap/NodeStack + Node storage
 // (src/base/TreeManager.cpp, NodeHeap.cpp). The reference's node is a
 // pointer-rich object; here a node is a row in contiguous (vlb, vub,
-// warm) arrays plus scalar metadata, so batch pops hand the caller dense
-// slabs ready to ship to the device without any gather on the Python
-// side.  Exposed through a C ABI for ctypes.
+// warm_x, warm_y) slabs plus a fixed-width scalar record, so batch pops
+// hand the caller dense slabs ready to ship to the device without any
+// gather on the Python side.  Exposed through a C ABI for ctypes.
 //
 // Heap order: min by (lb, -depth) — best-bound first, deeper as
 // tie-break, matching TreeSearchOrder::BEST_THEN_DIVE
 // (TreeManager.cpp:36-57).
+//
+// Scalar record layout (SCALARS doubles per node, fixed):
+//   0: nid   1: depth   2: lb   3: branch_var   4: branch_dir
+//   5: branch_frac   6: vio_val   7: pred_iters   8: tb_score
+//   9: has_warm_x   10: has_warm_y
 
 #include <algorithm>
 #include <cstdint>
@@ -18,9 +23,11 @@
 
 namespace {
 
+constexpr int64_t kScalars = 11;
+
 struct HeapEntry {
-  double key1;     // lb
-  double key2;     // tie-break (-depth for BthenD, depth for bfs, ...)
+  double key1;     // primary sort key
+  double key2;     // tie-break
   uint64_t seq;    // FIFO tie-break for determinism
   int64_t slot;    // row in the arrays
 };
@@ -36,8 +43,8 @@ struct EntryLess {
 
 class TreeStore {
  public:
-  TreeStore(int64_t n, int order)
-      : n_(n), order_(order), seq_(0) {}
+  TreeStore(int64_t n, int64_t m, int order)
+      : n_(n), m_(m), order_(order), seq_(0) {}
 
   int64_t alloc_slot() {
     if (!free_.empty()) {
@@ -45,41 +52,44 @@ class TreeStore {
       free_.pop_back();
       return s;
     }
-    int64_t s = static_cast<int64_t>(lb_.size());
-    lb_.push_back(0.0);
-    depth_.push_back(0);
-    nid_.push_back(0);
-    bvar_.push_back(-1);
+    int64_t s = static_cast<int64_t>(scal_.size() / kScalars);
+    scal_.resize((s + 1) * kScalars);
     vlb_.resize((s + 1) * n_);
     vub_.resize((s + 1) * n_);
-    warm_.resize((s + 1) * n_);
-    has_warm_.push_back(0);
+    warmx_.resize((s + 1) * n_);
+    warmy_.resize((s + 1) * m_);
     return s;
   }
 
-  void push(int64_t nid, int64_t depth, double lb, const double* vlb,
-            const double* vub, const double* warm, int has_warm,
-            int64_t bvar) {
+  void push(const double* scal, const double* vlb, const double* vub,
+            const double* warm_x, const double* warm_y) {
     int64_t s = alloc_slot();
-    nid_[s] = nid;
-    depth_[s] = depth;
-    lb_[s] = lb;
-    bvar_[s] = bvar;
+    std::memcpy(&scal_[s * kScalars], scal, kScalars * sizeof(double));
     std::memcpy(&vlb_[s * n_], vlb, n_ * sizeof(double));
     std::memcpy(&vub_[s * n_], vub, n_ * sizeof(double));
-    if (has_warm) std::memcpy(&warm_[s * n_], warm, n_ * sizeof(double));
-    has_warm_[s] = has_warm;
+    if (scal[9] != 0.0)
+      std::memcpy(&warmx_[s * n_], warm_x, n_ * sizeof(double));
+    if (scal[10] != 0.0 && m_ > 0)
+      std::memcpy(&warmy_[s * m_], warm_y, m_ * sizeof(double));
     heap_.push_back(make_entry(s));
     std::push_heap(heap_.begin(), heap_.end(), EntryLess{});
+  }
+
+  void push_batch(int64_t k, const double* scal, const double* vlb,
+                  const double* vub, const double* warm_x,
+                  const double* warm_y) {
+    for (int64_t i = 0; i < k; ++i) {
+      push(scal + i * kScalars, vlb + i * n_, vub + i * n_,
+           warm_x + i * n_, warm_y + i * m_);
+    }
   }
 
   // Pops up to k nodes with lb < cutoff into caller-provided slabs.
   // Returns the number of nodes written; pruned-by-cutoff nodes are
   // freed and counted in *pruned.
-  int64_t pop_batch(int64_t k, double cutoff, double* vlb_out,
-                    double* vub_out, double* warm_out, int* has_warm_out,
-                    double* lb_out, int64_t* depth_out, int64_t* nid_out,
-                    int64_t* bvar_out, int64_t* pruned) {
+  int64_t pop_batch(int64_t k, double cutoff, double* scal_out,
+                    double* vlb_out, double* vub_out, double* warmx_out,
+                    double* warmy_out, int64_t* pruned) {
     int64_t got = 0;
     *pruned = 0;
     while (!heap_.empty() && got < k) {
@@ -87,19 +97,20 @@ class TreeStore {
       HeapEntry e = heap_.back();
       heap_.pop_back();
       int64_t s = e.slot;
-      if (lb_[s] >= cutoff) {
+      if (scal_[s * kScalars + 2] >= cutoff) {
         free_.push_back(s);
         ++*pruned;
         continue;
       }
+      std::memcpy(scal_out + got * kScalars, &scal_[s * kScalars],
+                  kScalars * sizeof(double));
       std::memcpy(vlb_out + got * n_, &vlb_[s * n_], n_ * sizeof(double));
       std::memcpy(vub_out + got * n_, &vub_[s * n_], n_ * sizeof(double));
-      std::memcpy(warm_out + got * n_, &warm_[s * n_], n_ * sizeof(double));
-      has_warm_out[got] = has_warm_[s];
-      lb_out[got] = lb_[s];
-      depth_out[got] = depth_[s];
-      nid_out[got] = nid_[s];
-      bvar_out[got] = bvar_[s];
+      std::memcpy(warmx_out + got * n_, &warmx_[s * n_],
+                  n_ * sizeof(double));
+      if (m_ > 0)
+        std::memcpy(warmy_out + got * m_, &warmy_[s * m_],
+                    m_ * sizeof(double));
       free_.push_back(s);
       ++got;
     }
@@ -112,7 +123,7 @@ class TreeStore {
     std::vector<HeapEntry> keep;
     keep.reserve(heap_.size());
     for (const HeapEntry& e : heap_) {
-      if (lb_[e.slot] >= cutoff) {
+      if (scal_[e.slot * kScalars + 2] >= cutoff) {
         free_.push_back(e.slot);
         ++dropped;
       } else {
@@ -128,38 +139,41 @@ class TreeStore {
 
   double best_lb() const {
     double best = 1e300;
-    for (const HeapEntry& e : heap_) best = std::min(best, lb_[e.slot]);
+    for (const HeapEntry& e : heap_)
+      best = std::min(best, scal_[e.slot * kScalars + 2]);
     return best;
   }
 
   int64_t size() const { return static_cast<int64_t>(heap_.size()); }
   int64_t n() const { return n_; }
+  int64_t m() const { return m_; }
 
  private:
   HeapEntry make_entry(int64_t s) {
+    double lb = scal_[s * kScalars + 2];
+    double depth = scal_[s * kScalars + 1];
     double k1, k2;
     switch (order_) {
       case 0:  // dfs: deepest first
-        k1 = -static_cast<double>(depth_[s]);
-        k2 = lb_[s];
+        k1 = -depth;
+        k2 = lb;
         break;
       case 1:  // bfs: best bound, shallower first
-        k1 = lb_[s];
-        k2 = static_cast<double>(depth_[s]);
+        k1 = lb;
+        k2 = depth;
         break;
       default:  // BthenD
-        k1 = lb_[s];
-        k2 = -static_cast<double>(depth_[s]);
+        k1 = lb;
+        k2 = -depth;
     }
     return HeapEntry{k1, k2, seq_++, s};
   }
 
-  int64_t n_;
+  int64_t n_, m_;
   int order_;
   uint64_t seq_;
-  std::vector<double> lb_, vlb_, vub_, warm_;
-  std::vector<int64_t> depth_, nid_, bvar_, free_;
-  std::vector<int> has_warm_;
+  std::vector<double> scal_, vlb_, vub_, warmx_, warmy_;
+  std::vector<int64_t> free_;
   std::vector<HeapEntry> heap_;
 };
 
@@ -167,42 +181,34 @@ class TreeStore {
 
 extern "C" {
 
-void* treestore_create(int64_t n, int order) {
-  return new TreeStore(n, order);
+int64_t treestore_scalars() { return kScalars; }
+
+void* treestore_create(int64_t n, int64_t m, int order) {
+  return new TreeStore(n, m, order);
 }
 
 void treestore_destroy(void* ts) { delete static_cast<TreeStore*>(ts); }
 
-void treestore_push(void* ts, int64_t nid, int64_t depth, double lb,
-                    const double* vlb, const double* vub,
-                    const double* warm, int has_warm, int64_t bvar) {
-  static_cast<TreeStore*>(ts)->push(nid, depth, lb, vlb, vub, warm,
-                                    has_warm, bvar);
+void treestore_push(void* ts, const double* scal, const double* vlb,
+                    const double* vub, const double* warm_x,
+                    const double* warm_y) {
+  static_cast<TreeStore*>(ts)->push(scal, vlb, vub, warm_x, warm_y);
 }
 
 // Batch push: k nodes from dense slabs (row i = node i).
-void treestore_push_batch(void* ts, int64_t k, const int64_t* nid,
-                          const int64_t* depth, const double* lb,
+void treestore_push_batch(void* ts, int64_t k, const double* scal,
                           const double* vlb, const double* vub,
-                          const double* warm, const int* has_warm,
-                          const int64_t* bvar) {
-  TreeStore* t = static_cast<TreeStore*>(ts);
-  int64_t n = t->n();
-  for (int64_t i = 0; i < k; ++i) {
-    t->push(nid[i], depth[i], lb[i], vlb + i * n, vub + i * n,
-            warm + i * n, has_warm[i], bvar[i]);
-  }
+                          const double* warm_x, const double* warm_y) {
+  static_cast<TreeStore*>(ts)->push_batch(k, scal, vlb, vub, warm_x,
+                                          warm_y);
 }
 
 int64_t treestore_pop_batch(void* ts, int64_t k, double cutoff,
-                            double* vlb_out, double* vub_out,
-                            double* warm_out, int* has_warm_out,
-                            double* lb_out, int64_t* depth_out,
-                            int64_t* nid_out, int64_t* bvar_out,
-                            int64_t* pruned) {
+                            double* scal_out, double* vlb_out,
+                            double* vub_out, double* warmx_out,
+                            double* warmy_out, int64_t* pruned) {
   return static_cast<TreeStore*>(ts)->pop_batch(
-      k, cutoff, vlb_out, vub_out, warm_out, has_warm_out, lb_out,
-      depth_out, nid_out, bvar_out, pruned);
+      k, cutoff, scal_out, vlb_out, vub_out, warmx_out, warmy_out, pruned);
 }
 
 int64_t treestore_prune(void* ts, double cutoff) {

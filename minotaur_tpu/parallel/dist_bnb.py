@@ -56,7 +56,8 @@ class DistBranchAndBound(BranchAndBound):
                            use_pallas=bool(opts.get("ipm_use_pallas"))))
         self._sharded = build_sharded_step(self.sp, step_opts, mesh)
         self.pools: List[TreeManager] = [
-            TreeManager(self.tm.order) for _ in range(self.n_parts)]
+            self._make_tree(self.tm.order, None)
+            for _ in range(self.n_parts)]
         self._lb_freq = max(1, int(opts.get("lb_frequency")))
         # batch must be a multiple of the mesh size
         per = max(1, self._batch // self.n_parts)

@@ -78,6 +78,9 @@ def _create_default_options(db: OptionDB) -> None:
     ins("ipm_max_iters", int, "max IPM iterations per solve", 90)
     ins("ipm_tol", float, "IPM convergence tolerance", 1e-8)
     ins("ipm_use_pallas", bool, "fuse f32-phase SPD solves into the Pallas\n        kernel (TPU only)", False)
+    ins("ipm_tail_kkt_rounds", int, "defect-correction depth in the IPM's "
+        "f32 tail (speed/accuracy knob; deeper = fewer iterations, more "
+        "per-iteration f64 matvecs)", 8)
     ins("eval_within_bnds", bool, "clip x into variable bounds before evaluating "
         "nonlinear functions (guards sqrt/log domains)", True)
     # --- QG / cuts -----------------------------------------------------
@@ -110,6 +113,8 @@ def _create_default_options(db: OptionDB) -> None:
     ins("bnb_pipeline", bool, "overlap host bookkeeping of batch k with "
         "device compute of batch k+1 (disjoint nodes; one-batch-stale "
         "cutoffs only)", True)
+    ins("native_tree", bool, "store open nodes in the C++ slab treestore "
+        "(builds on first use; falls back to the python heap)", True)
     ins("msbnb_restarts", int, "multistart restart lanes per node in "
         "msbnb (reference MsProcessor msbnb_restarts; 1 disables)", 4)
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "

@@ -23,18 +23,33 @@ from minotaur_tpu.utils.types import SolveStatus
 from conftest import REF_INSTANCES, REF_TEST_INSTANCES
 
 
+def _scal(native, nid, depth, lb, bvar=-1, has_x=0, has_y=0):
+    s = np.zeros(native.N_SCALARS)
+    s[native.SCAL_NID] = nid
+    s[native.SCAL_DEPTH] = depth
+    s[native.SCAL_LB] = lb
+    s[native.SCAL_BVAR] = bvar
+    s[native.SCAL_HAS_X] = has_x
+    s[native.SCAL_HAS_Y] = has_y
+    return s
+
+
 def test_native_treestore_roundtrip():
     native = pytest.importorskip("minotaur_tpu.native")
-    ts = native.NativeTreeStore(3, order=2)
+    ts = native.NativeTreeStore(3, m=2, order=2)
     for k in range(10):
-        ts.push(k, k % 3, lb=float(10 - k), vlb=np.full(3, -k),
-                vub=np.full(3, k), warm=np.arange(3.0) * k, bvar=k % 2)
+        ts.push(_scal(native, k, k % 3, float(10 - k), bvar=k % 2,
+                      has_x=1, has_y=1),
+                np.full(3, -k), np.full(3, k), np.arange(3.0) * k,
+                np.full(2, 0.5 * k))
     assert len(ts) == 10
     assert ts.best_lb() == pytest.approx(1.0)
-    got, pruned, vlb, vub, warm, hw, lb, depth, nid, bvar = ts.pop_batch(4)
+    got, pruned, scal, vlb, vub, wx, wy = ts.pop_batch(4)
     assert got == 4
-    np.testing.assert_allclose(lb, [1.0, 2.0, 3.0, 4.0])  # best-first
+    np.testing.assert_allclose(scal[:, native.SCAL_LB],
+                               [1.0, 2.0, 3.0, 4.0])      # best-first
     np.testing.assert_allclose(vub[0], 9.0)               # slab contents
+    np.testing.assert_allclose(wy[0], 4.5)                # dual slab
     assert ts.prune(8.5) == 2
     got, pruned, *_ = ts.pop_batch(10, cutoff=7.5)
     assert got == 3 and pruned == 1
@@ -43,15 +58,37 @@ def test_native_treestore_roundtrip():
 def test_native_treestore_batch_push():
     native = pytest.importorskip("minotaur_tpu.native")
     n, k = 5, 7
-    ts = native.NativeTreeStore(n)
-    ts.push_batch(np.arange(k), np.zeros(k, np.int64),
-                  np.arange(k, dtype=float)[::-1].copy(),
-                  np.tile(np.arange(n, dtype=float), (k, 1)),
+    ts = native.NativeTreeStore(n, m=1)
+    scal = np.stack([_scal(native, i, 0, float(k - 1 - i))
+                     for i in range(k)])
+    ts.push_batch(scal, np.tile(np.arange(n, dtype=float), (k, 1)),
                   np.full((k, n), 9.0), np.zeros((k, n)),
-                  np.ones(k, np.int32), np.full(k, -1, np.int64))
-    got, _, vlb, *_rest = ts.pop_batch(k)
+                  np.zeros((k, 1)))
+    got, _, scal2, vlb, *_rest = ts.pop_batch(k)
     assert got == k
     np.testing.assert_allclose(vlb[0], np.arange(n))
+
+
+def test_native_tree_manager_matches_python():
+    """Driver equivalence: the native-backed tree and the python heap
+    produce the same optimum and node count on nvs08 (the store is a
+    drop-in; search order is identical)."""
+    from minotaur_tpu.bnb.bnb import BranchAndBound
+    results = []
+    for native_tree in (0, 1):
+        p = read_nl(os.path.join(REF_TEST_INSTANCES, "nvs08.nl"))
+        env = Environment()
+        env.set_option("node_batch", 8)
+        env.set_option("native_tree", native_tree)
+        env.set_option("log_level", 1)
+        bab = BranchAndBound(p, env)
+        st = bab.solve()
+        assert st == SolveStatus.SOLVED_OPTIMAL
+        if native_tree:
+            from minotaur_tpu.bnb.tree import NativeTreeManager
+            assert isinstance(bab.tm, NativeTreeManager)
+        results.append((round(bab.ub, 6), bab.stats.nodes_processed))
+    assert results[0] == results[1]
 
 
 def test_checkpoint_roundtrip(tmp_path):
