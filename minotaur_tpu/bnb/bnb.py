@@ -437,10 +437,21 @@ class BranchAndBound:
         return batch
 
     def _lane_starts(self, batch: List[Node]) -> np.ndarray:
-        """Warm-start vector per lane (hook for multistart lanes)."""
+        """Warm-start vector per lane (hook for multistart lanes).
+        Cold NL lanes start at the box midpoint: the zero start lands
+        nonconvex models in infeasible merit attractors (luedtke-1
+        converges from the midpoint, stalls from zero)."""
         n = self.sp.n
+        if self.sp.obj_nl is not None or len(self.sp.nl_rows):
+            lo, hi = self.sp.vlb, self.sp.vub
+            fl, fu = np.isfinite(lo), np.isfinite(hi)
+            cold = np.where(fl & fu, 0.5 * (lo + hi),
+                            np.where(fl, lo + 1.0,
+                                     np.where(fu, hi - 1.0, 0.0)))
+        else:
+            cold = np.zeros(n)
         return np.stack([nd.warm_x if nd.warm_x is not None
-                         else np.zeros(n) for nd in batch])
+                         else cold for nd in batch])
 
     def _lane_duals(self, batch: List[Node]) -> np.ndarray:
         """Dual warm-start vector per lane (parent row duals or zeros)."""

@@ -34,6 +34,7 @@ class PresolveStats:
     infeasible: bool = False
     dup_rows: int = 0
     redundant_rows: int = 0
+    singleton_rows: int = 0
     coefs_improved: int = 0
     dual_fixed: int = 0
 
@@ -46,6 +47,7 @@ class Presolver:
         self.problem = problem
         self.sp = sp
         self.max_iters = max_iters
+        self.int_tol = int_tol
         self.stats = PresolveStats()
         sweep = build_fbbt_sweep(sp, int_tol)
 
@@ -129,6 +131,31 @@ class Presolver:
                 tmax = np.where(A > 0, A * vub[None, :],
                                 np.where(A < 0, A * vlb[None, :], 0.0))
             return tmin.sum(axis=1), tmax.sum(axis=1)
+
+        # --- singleton rows: a*x in [lb, ub] tightens x directly and the
+        # row becomes redundant (reference: LinearHandler.cpp:362)
+        nnz = (A != 0).sum(axis=1)
+        for i in np.where(active & (nnz == 1))[0]:
+            j = int(np.nonzero(A[i])[0][0])
+            a = A[i, j]
+            lo, hi = clb[i] / a, cub[i] / a
+            if a < 0:
+                lo, hi = hi, lo
+            if lo > vlb[j] + 1e-12:
+                vlb[j] = lo
+                self.stats.bounds_tightened += 1
+            if hi < vub[j] - 1e-12:
+                vub[j] = hi
+                self.stats.bounds_tightened += 1
+            if sp.int_mask[j]:
+                vlb[j] = np.ceil(vlb[j] - self.int_tol)
+                vub[j] = np.floor(vub[j] + self.int_tol)
+            if vlb[j] > vub[j] + 1e-9:
+                self.stats.infeasible = True
+                return SolveStatus.SOLVED_INFEASIBLE, vlb, vub
+            clb[i], cub[i] = -_INF, _INF
+            active[i] = False
+            self.stats.singleton_rows += 1
 
         # --- duplicate rows: identical coefficient vectors merge bounds
         seen: dict = {}

@@ -658,7 +658,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
           fdt = f32 if use_f32 else f64
 
           def step(carry):
-            (z, y, zl, zu, k, err, mu_prev, best_db, rvec,
+            (z, y, zl, zu, k, err, mu_prev, best_db, rvec, nu, stall,
              bz, by, bzl, bzu, berr, bmu) = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
@@ -993,7 +993,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 ap = ad = a
 
             mu_t = sigma * mu
-            nu_pen = 10.0 * (1.0 + jnp.max(jnp.abs(y), initial=0.0))
+            # exact-penalty weight: MONOTONE non-decreasing across
+            # iterations (carried in `nu`).  The round-1 stateless
+            # 10*(1+|y|_inf) oscillated with the multipliers and let the
+            # merit cycle on nonconvex models (the luedtke-1 stall mode);
+            # filter-method practice ratchets the penalty only upward.
+            nu_pen = jnp.maximum(nu, 10.0 * (1.0 + jnp.max(jnp.abs(y),
+                                                           initial=0.0)))
 
             def trial(scale):
                 zt = z + scale * ap * dz_c
@@ -1030,16 +1036,22 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
 
             if has_nl:
                 # merit line search over a fixed scale ladder: take the
-                # LARGEST scale that decreases the merit or the KKT error;
-                # if none does, take the smallest step (escapes cycling
-                # where the full Mehrotra step oscillates — the luedtke-1
-                # stall mode)
+                # LARGEST scale that decreases the merit, the KKT error,
+                # or (crude filter feasibility leg) the primal
+                # infeasibility theta by >=10% while infeasible; if none
+                # does, take the smallest step (escapes cycling where
+                # the full Mehrotra step oscillates — the luedtke-1
+                # stall mode, fixed by the theta leg + monotone nu)
+                theta0 = jnp.sum(jnp.abs(rp))
                 m0 = trial(0.0)[-2]
-                cands = [trial(s) for s in (0.05, 0.25, 1.0)]
+                cands = [trial(s) for s in (0.01, 0.05, 0.25, 1.0)]
                 sel = cands[0]
                 for cand in cands[1:]:
+                    tht = jnp.sum(jnp.abs(cand[-1][n + m:]))
                     acc = ((cand[-2] < m0 - 1e-12) |
-                           (cand[4] < err)) & jnp.isfinite(cand[-2])
+                           (cand[4] < err) |
+                           ((theta0 > 1e-6) & (tht < 0.9 * theta0))) & \
+                        jnp.isfinite(cand[-2])
                     sel = tuple(jnp.where(acc, a, b)
                                 for a, b in zip(cand, sel))
                 z_new, y_new, zl_new, zu_new, err2, mu2, _, rvec2 = sel
@@ -1078,8 +1090,37 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             bz2, by2 = sel(z_new, bz), sel(y_new, by)
             bzl2, bzu2 = sel(zl_new, bzl), sel(zu_new, bzu)
             berr2, bmu2 = sel(err2, berr), sel(mu2, bmu)
+            # ratchet the penalty upward from the accepted multipliers
+            nu2 = jnp.maximum(nu_pen, jnp.minimum(
+                1e10, 10.0 * (1.0 + jnp.max(jnp.abs(y_new), initial=0.0))))
+            stall2 = jnp.where(better, 0, stall + 1)
+            if has_nl:
+                # lane restart (vmapped analogue of Ipopt's restoration
+                # fallback, IpoptEngine.cpp:668): a lane whose best KKT
+                # error has not improved for 25 iterations is boundary-
+                # pinned or cycling — re-center it between its best
+                # iterate and the box midpoint, reset multipliers, and
+                # let the barrier walk restart.  Only the ITERATE is
+                # reset; the best-state ratchet and certified bounds
+                # keep everything sound.
+                # NaN-stopped NL lanes (err2 == -1) restart instead of
+                # dying: a blown step is the same pathology
+                do_rst = (stall2 >= 25) | (err2 == -1.0)
+                mid = jnp.where(fin_l & fin_u, 0.5 * (lz + uz),
+                                jnp.where(fin_l, lz + 1.0,
+                                          jnp.where(fin_u, uz - 1.0, 0.0)))
+                z_rst = clampz(0.5 * bz2 + 0.5 * mid)
+                rst = lambda a, b: jnp.where(do_rst, a, b)
+                z_new = rst(z_rst, z_new)
+                y_new = rst(jnp.zeros_like(y_new), y_new)
+                zl_new = rst(jnp.where(fin_l, 1.0, 0.0), zl_new)
+                zu_new = rst(jnp.where(fin_u, 1.0, 0.0), zu_new)
+                err2 = rst(jnp.asarray(1e6, dtype=err2.dtype), err2)
+                mu2 = rst(jnp.asarray(1.0, dtype=mu2.dtype), mu2)
+                stall2 = jnp.where(do_rst, 0, stall2)
             return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2,
-                    best_db, rvec2, bz2, by2, bzl2, bzu2, berr2, bmu2)
+                    best_db, rvec2, nu2, stall2,
+                    bz2, by2, bzl2, bzu2, berr2, bmu2)
           return step
 
         def cond_to(tol_target):
@@ -1103,8 +1144,9 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         # light phase carries f32 residuals)
         ldt0 = f32 if light_on else f64
         rvec0 = jnp.concatenate([rd_x0, rd_s0, rp0]).astype(ldt0)
+        nu0 = jnp.asarray(10.0)
         state0 = (z0, y0, zl0, zu0, 0, err0, mu0, jnp.asarray(-_BIG),
-                  rvec0, z0, y0, zl0, zu0, err0, mu0)
+                  rvec0, nu0, 0, z0, y0, zl0, zu0, err0, mu0)
         if opts.factor_f32:
             # two-phase: f32-factorized iterations until moderately
             # converged (f32+refinement stalls once the barrier pushes the
@@ -1127,7 +1169,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             # leave the tail worse than where phase 1 passed through.
             # Farkas lanes (err == -2) keep their certificate; NaN-stopped
             # lanes (err == -1) restart the tail from their best state.
-            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1, _rv1,
+            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1, _rv1, nu1, st1,
              bz1, by1, bzl1, bzu1, berr1, bmu1) = state1
             use_b = (err1 == -1.0) | ((err1 >= 0.0) & (berr1 < err1))
             ub_ = lambda a, b: jnp.where(use_b, a, b)
@@ -1143,7 +1185,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 rxm, rsm, rpm = residuals_e(zm, ym, zlm, zum, env64)
             rvm = jnp.concatenate([rxm, rsm, rpm]).astype(f64)
             state1 = (zm, ym, zlm, zum, k1, ub_(berr1, err1),
-                      ub_(bmu1, mu1), bdb1, rvm,
+                      ub_(bmu1, mu1), bdb1, rvm, nu1, st1,
                       bz1, by1, bzl1, bzu1, berr1, bmu1)
 
             def cond_tail(carry):
@@ -1183,7 +1225,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             keep2 = state2[5] < 0.0
             state2 = tuple(jnp.where(keep2, a, b)
                            for a, b in zip(state2, state3))
-        (z, y, zl, zu, iters, err, mu, best_db, _rvf,
+        (z, y, zl, zu, iters, err, mu, best_db, _rvf, _nuf, _stf,
          bz, by, bzl, bzu, berr, bmu) = state2
         # report the best iterate seen, not the last: a blown f32 step
         # near convergence must not discard an earlier near-optimal state.
@@ -1301,7 +1343,15 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         vlb_b = jnp.asarray(vlb_b)
         vub_b = jnp.asarray(vub_b)
         if x0_b is None:
-            x0_b = jnp.zeros((vlb_b.shape[0], n))
+            if len(sp.nl_rows) or sp.obj_nl is not None:
+                # cold NL starts use the box midpoint: zero starts land
+                # nonconvex models in infeasible merit attractors
+                # (luedtke-1 converges from the midpoint, stalls from 0)
+                lo = jnp.where(jnp.isfinite(vlb_b), vlb_b, -1.0)
+                hi = jnp.where(jnp.isfinite(vub_b), vub_b, 1.0)
+                x0_b = 0.5 * (lo + hi)
+            else:
+                x0_b = jnp.zeros((vlb_b.shape[0], n))
         return solve_batch(A, clb, cub, vlb_b, vub_b, jnp.asarray(x0_b))
 
     return solve

@@ -75,12 +75,19 @@ def test_pure_lp_solves_at_root():
     assert bab.stats.nodes_processed == 1
 
 
-def test_unresolved_node_is_not_claimed_optimal():
-    """luedtke-1's NLP stalls the engine; the node must be recorded as
-    unresolved, not silently pruned (soundness)."""
+def test_luedtke_converges_from_cold_start():
+    """Round 1 stalled on luedtke-1 (zero cold start fell into an
+    infeasible merit attractor; the node went unresolved).  The NLP
+    globalization work (midpoint cold starts + monotone exact-penalty +
+    theta-acceptance + lane restarts) converges it to the known local
+    optimum 72.0975 — matching what the reference gets from Ipopt's
+    restoration (IpoptEngine.cpp:668).  Soundness coverage for genuinely
+    unresolvable relaxations lives in
+    test_unbounded_nlp_not_claimed_optimal (hess.nl)."""
     bab = solve_file(os.path.join(REF_INSTANCES, "luedtke-1.nl"),
-                     _env(nodes=50, tl=60))
-    assert bab.status != SolveStatus.SOLVED_OPTIMAL
+                     _env(nodes=50, tl=120))
+    assert bab.status == SolveStatus.SOLVED_OPTIMAL
+    assert bab.ub == pytest.approx(72.09753, abs=1e-3)
 
 
 def test_debug_sol_oracle():

@@ -107,3 +107,49 @@ def test_mglob_cli_forwards_convex():
     from minotaur_tpu.solvers.mglob import main
     rc = main([os.path.join(REF_INSTANCES, "hs021.nl"), "--log_level", "1"])
     assert rc == 0
+
+
+def test_separable_constraint_splits_into_terms():
+    """TransSep parity (reference TransSep.cpp separability splitting):
+    an additively separable nonlinear constraint x^2 + sin(y) + exp(z)
+    <= b is split by the transformer walk into INDEPENDENT per-term aux
+    columns — one bilinear square and two univariate terms sharing one
+    linear row — so each term is relaxed by its own envelope instead of
+    one joint relaxation of the whole body.  The per-term interval
+    bounds on the aux columns prove the split happened."""
+    from minotaur_tpu.ir.expr import ExprGraph
+    from minotaur_tpu.ops.opcodes import Op
+
+    p = Problem("sep")
+    p.new_variable(0.0, 2.0)    # x
+    p.new_variable(0.0, np.pi)  # y
+    p.new_variable(0.0, 1.0)    # z
+    g = ExprGraph()
+    g.set_root(g.sum_list([
+        g.node(Op.SQR, g.var(0)),
+        g.node(Op.SIN, g.var(1)),
+        g.node(Op.EXP, g.var(2))]))
+    p.new_constraint(Function(nlf=g), -np.inf, 4.0)
+    p.new_objective(Function(lf=LinearFunction({0: -1.0, 1: -0.1,
+                                                2: -0.1})))
+    gs = transform(p)
+    # one square term + two univariate terms, separately relaxed
+    assert gs.n_y == 1 and gs.n_u == 2
+    aux = gs.A[0][gs.n_x:]
+    assert np.count_nonzero(aux) == 3       # all three terms in one row
+    # per-term interval bounds (split semantics): x^2 in [0,4],
+    # sin(y) in [0,1], exp(z) in [1,e]
+    lo, hi = gs.vlb[gs.n_x:], gs.vub[gs.n_x:]
+    pairs = sorted(zip(lo, hi))
+    assert pairs[0] == pytest.approx((0.0, 1.0))            # sin
+    assert pairs[1] == pytest.approx((0.0, 4.0))            # x^2
+    assert pairs[2] == pytest.approx((1.0, np.e), abs=1e-9)  # exp
+    # and the glob driver solves the separable model to the analytic
+    # optimum: maximize x + 0.1y + 0.1z with x^2 <= 4 - sin(y) - exp(z);
+    # the corner y=pi (sin=0) and z=0 gives x = sqrt(3), so
+    # obj = -(sqrt(3) + 0.1*pi)
+    bab = GlobBranchAndBound(p, _env())
+    st = bab.solve()
+    assert st == SolveStatus.SOLVED_OPTIMAL
+    assert bab.ub == pytest.approx(-(np.sqrt(3.0) + 0.1 * np.pi),
+                                   abs=1e-4)

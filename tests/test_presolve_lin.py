@@ -146,3 +146,40 @@ def test_presolve_preserves_milp_optimum():
         assert bab.solve() == SolveStatus.SOLVED_OPTIMAL
         vals[lin] = bab.ub
     assert vals[True] == pytest.approx(vals[False], abs=1e-6)
+
+
+def test_singleton_rows():
+    """A one-nonzero row folds into variable bounds and vacates
+    (reference: LinearHandler singleton rows, LinearHandler.cpp:362)."""
+    p = Problem("singleton")
+    p.new_variable(0, 10)
+    p.new_variable(0, 10, VarType.INTEGER)
+    # 2*x0 in [1, 6]  ->  x0 in [0.5, 3]
+    p.new_constraint(Function(lf=LinearFunction({0: 2.0})), 1.0, 6.0)
+    # -3*x1 <= -4     ->  x1 >= 4/3  -> integer rounding: x1 >= 2
+    p.new_constraint(Function(lf=LinearFunction({1: -3.0})), -INF, -4.0)
+    p.new_constraint(Function(lf=LinearFunction({0: 1.0, 1: 1.0})),
+                     -INF, 9.0)
+    p.new_objective(Function(lf=LinearFunction({0: 1.0, 1: 1.0})))
+    pre, sp = _pre(p)
+    st, vlb, vub = pre.linear_presolve(sp.vlb.copy(), sp.vub.copy())
+    assert st == SolveStatus.FINISHED
+    assert pre.stats.singleton_rows == 2
+    # singleton fold gives x0 in [0.5, 3]; the later dual-fixing pass
+    # legitimately pins this min-c column at its new lower bound
+    assert vlb[0] == pytest.approx(0.5) and vub[0] <= 3.0 + 1e-9
+    assert vlb[1] == pytest.approx(2.0)
+    # both singleton rows vacated, the 2-var row kept
+    assert np.isinf(sp.clb[0]) and np.isinf(sp.cub[0])
+    assert sp.cub[2] == pytest.approx(9.0)
+
+
+def test_singleton_row_infeasible():
+    p = Problem("singleton-inf")
+    p.new_variable(0, 1, VarType.INTEGER)
+    # 2*x0 in [0.5, 1.2] -> x0 in [0.25, 0.6] -> integer: empty
+    p.new_constraint(Function(lf=LinearFunction({0: 2.0})), 0.5, 1.2)
+    p.new_objective(Function(lf=LinearFunction({0: 1.0})))
+    pre, sp = _pre(p)
+    st, _, _ = pre.linear_presolve(sp.vlb.copy(), sp.vub.copy())
+    assert st == SolveStatus.SOLVED_INFEASIBLE
