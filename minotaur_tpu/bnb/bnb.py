@@ -107,6 +107,9 @@ class BranchAndBound:
                            use_pallas=bool(opts.get("ipm_use_pallas")),
                            tail_kkt_rounds=int(
                                opts.get("ipm_tail_kkt_rounds")),
+                           refine_steps=int(opts.get("ipm_refine_steps")),
+                           affine_kkt_rounds=int(
+                               opts.get("ipm_affine_kkt_rounds")),
                            **dt_kw))
         self._step = build_node_step(self.sp, step_opts)
         self._is_lp_relax = self.sp.is_lp_relaxable

@@ -59,14 +59,18 @@ class IPMOptions:
     # (certified bounds / residual-based statuses); only convergence speed
     # could suffer on ill-conditioned lanes.
     factor_f32: bool = True
-    # refinement depth: every refine step costs an f64 apply (emulated
-    # ~20x on TPU) and every kkt round costs a full refined re-solve, so
-    # these multiply.  Measured on the v5e (64-lane color_lab batch,
-    # mixed fixed-var boxes): (3,2) 20.7s, (1,1) 6.5s per superstep with
-    # identical converged-lane counts and certified-bound gaps — the
-    # certificates make deeper correction a speed knob, not a soundness
-    # one.  The f32 TAIL has its own deeper budget (tail_kkt_rounds).
-    refine_steps: int = 1
+    # refinement depth INSIDE each f32 SPD solve (iterations of
+    # x += Minv(r - Mx)); every step costs one f32 (n,n) apply per solve
+    # and the IPM issues ~7 solves/iteration, so this multiplies hard.
+    # 0 disables inner refinement entirely — the BLOCK-level defect
+    # correction (kkt_rounds/tail_kkt_rounds) re-solves against the true
+    # operator anyway, making inner refinement largely redundant
+    # (measured on the v5e color_lab batch at tail_kkt_rounds=4:
+    # refine 0 beats refine 2 at the root 1.93 s/39 it vs 2.65 s/46 it
+    # AND on warm children 0.53 s vs 0.60 s, with a better KKT floor
+    # 2.4e-5 vs 8.2e-5).  Default keeps 2 (the long-validated setting);
+    # the bench opts into 0 via ipm_refine_steps.
+    refine_steps: int = 2
     kkt_rounds: int = 1         # KKT-level defect-correction rounds (f32)
     use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
     # keep the f32 factorization in the TAIL phase too (with deeper
@@ -282,7 +286,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         # f64 factorizations (NLP path) keep a deeper floor: explicit-
         # inverse solves err at ~kappa*eps even in f64, and one round is
         # not enough on ill-conditioned fixed-variable KKTs
-        steps = opts.refine_steps + 1 if use_f32 \
+        steps = opts.refine_steps if use_f32 \
             else max(opts.refine_steps, 3)
         x, _, _ = jax.lax.fori_loop(0, steps, refine_body, (x, res, nrm))
         return x.astype(out_dtype)

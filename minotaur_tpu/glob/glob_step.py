@@ -93,6 +93,11 @@ def build_envelope_fn(gs: GlobStaged,
             parts_A.append(a)
             parts_lb.append(lo)
             parts_ub.append(hi)
+        if step_env.quad_rows is not None:
+            a, lo, hi = step_env.quad_rows(vlb, vub)
+            parts_A.append(a)
+            parts_lb.append(lo)
+            parts_ub.append(hi)
         if not parts_A:
             return (jnp.zeros((0, gs.n)), jnp.zeros(0), jnp.zeros(0))
         return (jnp.concatenate(parts_A, axis=0),
@@ -106,6 +111,7 @@ class _EnvHolder:
     uni_envelopes = None
     rlt_rows = None
     tri_rows = None
+    quad_rows = None
 
 
 def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
@@ -126,6 +132,8 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
         else None
     n_t = gs.n_t
     m_tri = 4 * n_t
+    n_q = getattr(gs, "n_q", 0)
+    m_quad = 5 * n_q
     ti = jnp.asarray(gs.term_i.astype(np.int32))
     tj = jnp.asarray(gs.term_j.astype(np.int32))
     ty = jnp.asarray(gs.term_y.astype(np.int32))
@@ -153,17 +161,17 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
     # the trilinear lambda-hull link rows are STATIC equalities (rhs 0)
     # with traced coefficients: the IPM's equality-row classification
     # happens at build time from these static clb/cub
-    m_extra = m_env + m_uenv + m_rlt + m_tri
+    m_extra = m_env + m_uenv + m_rlt + m_tri + m_quad
     sp_ext = StagedProblem(
         name=gs.name, n=nz, m=m_base + m_extra, c=gs.c,
         obj_const=gs.obj_const, Qobj=None, obj_nl=None,
         A=np.vstack([gs.A, np.zeros((m_extra, nz))]),
         clb=np.concatenate([gs.clb,
-                            np.full(m_extra - m_tri, -np.inf),
-                            np.zeros(m_tri)]),
+                            np.full(m_extra - m_tri - m_quad, -np.inf),
+                            np.zeros(m_tri + m_quad)]),
         cub=np.concatenate([gs.cub,
-                            np.full(m_extra - m_tri, np.inf),
-                            np.zeros(m_tri)]),
+                            np.full(m_extra - m_tri - m_quad, np.inf),
+                            np.zeros(m_tri + m_quad)]),
         vlb=gs.vlb, vub=gs.vub, int_mask=gs.int_mask,
         nl_rows=np.zeros(0, np.int32), con_nl=None, nl_graphs=[])
     solve_one = build_single_solver(sp_ext, opts.ipm)
@@ -353,11 +361,53 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
     else:
         tri_rows = None
 
+    # ---- quadrilinear lambda-hull link rows (static equalities) --------
+    if n_q:
+        qv = jnp.asarray(gs.quad_vars.astype(np.int32))       # (Q, 4)
+        qyy = np.asarray(gs.quad_y.astype(np.int64))
+        qlam_cols = (gs.quad_lam0.astype(np.int64)[:, None] +
+                     np.arange(16)[None, :])                   # (Q, 16)
+        qbits = np.array([[(v >> i) & 1 for i in range(4)]
+                          for v in range(16)])                 # (16, 4)
+        qbits_j = jnp.asarray(qbits[None, :, :] == 1)
+        qxrows = np.arange(n_q)[:, None] * 5 + np.arange(4)[None, :]
+        qyrow = np.arange(n_q) * 5 + 4
+        qlam_j = jnp.asarray(qlam_cols)
+        qxrows_j = jnp.asarray(qxrows)
+        qyrow_j = jnp.asarray(qyrow)
+        qvar_np = gs.quad_vars.astype(np.int64)
+
+        quad_static = np.zeros((m_quad, nz))
+        quad_static[qxrows.reshape(-1),
+                    qvar_np.reshape(-1)] += 1.0               # e_{x_i}
+        quad_static[qyrow, qyy] += 1.0                        # e_y
+        quad_static_j = jnp.asarray(quad_static)
+
+        def quad_rows(vlb, vub):
+            """Vertex/lambda hull of a 4-linear monomial over the box —
+            the arity-4 member of the reference's grouped multilinear
+            hulls (MultilinearTermsHandler `ml_*`)."""
+            lo = vlb[qv]                                      # (Q, 4)
+            hi = vub[qv]
+            vals = jnp.where(qbits_j, hi[:, None, :], lo[:, None, :])
+            prod = (vals[:, :, 0] * vals[:, :, 1] *
+                    vals[:, :, 2] * vals[:, :, 3])
+            qA = quad_static_j
+            for i in range(4):
+                qA = qA.at[qxrows_j[:, i][:, None], qlam_j].add(
+                    -vals[:, :, i])
+            qA = qA.at[qyrow_j[:, None], qlam_j].add(-prod)
+            zeros = jnp.zeros(m_quad)
+            return qA, zeros, zeros
+    else:
+        quad_rows = None
+
     if _env_out is not None:
         _env_out.envelopes = envelopes if n_y else None
         _env_out.uni_envelopes = uni_envelopes if n_u else None
         _env_out.rlt_rows = rlt_rows
         _env_out.tri_rows = tri_rows
+        _env_out.quad_rows = quad_rows
 
     def term_fbbt(vlb, vub, infeas):
         """Interval propagation through y = xi*xj both ways (reference
@@ -468,6 +518,11 @@ def build_glob_step(gs: GlobStaged, opts: GlobStepOptions = GlobStepOptions(),
             parts_A.append(tA)
             parts_lb.append(tlb)
             parts_ub.append(tub)
+        if m_quad:
+            qA, qlb, qub = quad_rows(vlb, vub)
+            parts_A.append(qA)
+            parts_lb.append(qlb)
+            parts_ub.append(qub)
         A = jnp.concatenate(parts_A, axis=0)
         clb = jnp.concatenate(parts_lb)
         cub = jnp.concatenate(parts_ub)

@@ -71,17 +71,28 @@ class GlobStaged:
     tri_vars: np.ndarray = None  # (n_t, 3) factor columns
     tri_y: np.ndarray = None     # (n_t,) product column
     tri_lam0: np.ndarray = None  # (n_t,) first lambda column
+    # quadrilinear lambda-hull groups (general `ml_*` grouping analogue:
+    # the reference groups multilinear terms of any arity and builds the
+    # grouped extreme-point hull, MultilinearTermsHandler.cpp; fixed
+    # arities 3 and 4 cover the shipped instances' degrees while keeping
+    # shapes static): 16 lambda columns per group
+    quad_vars: np.ndarray = None  # (n_q, 4) factor columns
+    quad_y: np.ndarray = None     # (n_q,) product column
+    quad_lam0: np.ndarray = None  # (n_q,) first lambda column
 
     def __post_init__(self):
         if self.term_y is None:
             self.term_y = self.n_x + np.arange(self.n_y, dtype=np.int32)
-        for f in ("uni_f", "uni_x", "uni_y", "tri_y", "tri_lam0"):
+        for f in ("uni_f", "uni_x", "uni_y", "tri_y", "tri_lam0",
+                  "quad_y", "quad_lam0"):
             if getattr(self, f) is None:
                 setattr(self, f, np.zeros(0, dtype=np.int32))
         if self.uni_k is None:
             self.uni_k = np.zeros(0, dtype=np.float64)
         if self.tri_vars is None:
             self.tri_vars = np.zeros((0, 3), dtype=np.int32)
+        if self.quad_vars is None:
+            self.quad_vars = np.zeros((0, 4), dtype=np.int32)
 
     @property
     def n(self) -> int:
@@ -94,6 +105,10 @@ class GlobStaged:
     @property
     def n_t(self) -> int:
         return len(self.tri_y)
+
+    @property
+    def n_q(self) -> int:
+        return len(self.quad_y)
 
 
 def is_convex_quadratic(problem: Problem, tol: float = 1e-9) -> bool:
@@ -459,24 +474,33 @@ def transform(problem: Problem,
     tri_vars_l: List[Tuple[int, ...]] = []
     tri_y_l: List[int] = []
     tri_lam0_l: List[int] = []
+    quad_vars_l: List[Tuple[int, ...]] = []
+    quad_y_l: List[int] = []
+    quad_lam0_l: List[int] = []
     if multilinear_hull > 0:
         for y, facs in b.mono.items():
-            if len(tri_y_l) >= multilinear_hull:
+            if len(tri_y_l) + len(quad_y_l) >= multilinear_hull:
                 break
-            if len(facs) != 3 or len(set(facs)) != 3:
+            if len(facs) not in (3, 4) or len(set(facs)) != len(facs):
                 continue
             if not all(np.isfinite(b.vlb[v]) and np.isfinite(b.vub[v]) and
                        abs(b.vlb[v]) < 1e8 and abs(b.vub[v]) < 1e8
                        for v in facs):
                 continue
+            k = len(facs)
             lam0 = len(b.vlb)
-            for _ in range(8):
+            for _ in range(1 << k):
                 b._new_col(0.0, 1.0)
             b.extra_rows.append(
-                ({lam0 + v: 1.0 for v in range(8)}, 1.0, 1.0))
-            tri_vars_l.append(tuple(facs))
-            tri_y_l.append(y)
-            tri_lam0_l.append(lam0)
+                ({lam0 + v: 1.0 for v in range(1 << k)}, 1.0, 1.0))
+            if k == 3:
+                tri_vars_l.append(tuple(facs))
+                tri_y_l.append(y)
+                tri_lam0_l.append(lam0)
+            else:
+                quad_vars_l.append(tuple(facs))
+                quad_y_l.append(y)
+                quad_lam0_l.append(lam0)
 
     nz = len(b.vlb)
     m = problem.n_cons + len(b.extra_rows)
@@ -518,4 +542,7 @@ def transform(problem: Problem,
         uni_f=uni_f, uni_x=uni_x, uni_y=uni_y, uni_k=uni_k,
         tri_vars=np.asarray(tri_vars_l, dtype=np.int32).reshape(-1, 3),
         tri_y=np.asarray(tri_y_l, dtype=np.int32),
-        tri_lam0=np.asarray(tri_lam0_l, dtype=np.int32))
+        tri_lam0=np.asarray(tri_lam0_l, dtype=np.int32),
+        quad_vars=np.asarray(quad_vars_l, dtype=np.int32).reshape(-1, 4),
+        quad_y=np.asarray(quad_y_l, dtype=np.int32),
+        quad_lam0=np.asarray(quad_lam0_l, dtype=np.int32))

@@ -81,6 +81,10 @@ def _create_default_options(db: OptionDB) -> None:
     ins("ipm_tail_kkt_rounds", int, "defect-correction depth in the IPM's "
         "f32 tail (speed/accuracy knob; deeper = fewer iterations, more "
         "per-iteration f64 matvecs)", 8)
+    ins("ipm_refine_steps", int, "inner refinement iterations per f32 SPD "
+        "solve (0 = rely on block-level defect correction only)", 2)
+    ins("ipm_affine_kkt_rounds", int, "defect-correction depth for the "
+        "affine predictor solve (it only shapes sigma)", 1)
     ins("eval_within_bnds", bool, "clip x into variable bounds before evaluating "
         "nonlinear functions (guards sqrt/log domains)", True)
     # --- QG / cuts -----------------------------------------------------

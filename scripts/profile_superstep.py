@@ -9,6 +9,7 @@ Usage:  python scripts/profile_superstep.py [--batch 64] [--iters 36]
 """
 
 import argparse
+import re
 import os
 import sys
 import time
@@ -54,8 +55,8 @@ def main():
     for kv in (args.ipm or []):
         k, v = kv.split("=")
         ipm_kw[k] = {"True": True, "False": False}.get(v) \
-            if v in ("True", "False") else (int(v) if v.isdigit()
-                                            else float(v))
+            if v in ("True", "False") else (
+                int(v) if re.fullmatch(r"-?\d+", v) else float(v))
     step = build_node_step(sp, StepOptions(
         fbbt_rounds=2,
         ipm=IPMOptions(max_iters=args.iters, **ipm_kw)))

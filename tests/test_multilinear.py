@@ -136,3 +136,82 @@ def test_hull_tightens_root_and_global_solve():
             best = min(best, -a * b * c + 0.5 * a)
     assert bab.ub <= best + 1e-3
     assert bab.lb >= bab.ub - max(1e-4, 1e-4 * abs(bab.ub))
+
+
+def _quadlinear_problem():
+    """min -x0*x1*x2*x3 + 0.25*x0  s.t. sum x <= 3,  x in [0,1]^4."""
+    p = Problem("quad4")
+    for _ in range(4):
+        p.new_variable(0.0, 1.0)
+    p.new_constraint(
+        Function(lf=LinearFunction({0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0})),
+        -np.inf, 3.0)
+    g = ExprGraph()
+    t = g.node(Op.MULT,
+               g.node(Op.MULT, g.var(0), g.var(1)),
+               g.node(Op.MULT, g.var(2), g.var(3)))
+    g.set_root(g.node(Op.UMINUS, t))
+    p.new_objective(Function(lf=LinearFunction({0: 0.25}), nlf=g))
+    return p
+
+
+def test_transform_detects_quadlinear():
+    """Arity-4 grouping (general ml_* analogue): 16 lambda columns with a
+    static sum-to-1 row."""
+    gs = transform(_quadlinear_problem(), multilinear_hull=8)
+    assert gs.n_q == 1
+    assert sorted(gs.quad_vars[0]) == [0, 1, 2, 3]
+    lam0 = int(gs.quad_lam0[0])
+    assert np.all(gs.vlb[lam0:lam0 + 16] == 0.0)
+    assert np.all(gs.vub[lam0:lam0 + 16] == 1.0)
+    row = np.zeros(gs.n)
+    row[lam0:lam0 + 16] = 1.0
+    hit = [r for r in range(gs.A.shape[0])
+           if np.allclose(gs.A[r], row) and gs.clb[r] == gs.cub[r] == 1.0]
+    assert hit
+
+
+def test_quadlinear_hull_membership_and_solve():
+    """The 16-vertex hull admits every exact lift, and the glob driver
+    solves the 4-linear model to its global optimum with the hull on."""
+    import jax.numpy as jnp
+    from minotaur_tpu.glob.glob_step import GlobStepOptions, _EnvHolder, \
+        build_glob_step
+    gs = transform(_quadlinear_problem(), multilinear_hull=8)
+    env_out = _EnvHolder()
+    build_glob_step(gs, GlobStepOptions(), _env_out=env_out)
+    qA, qlb, qub = (np.asarray(a) for a in env_out.quad_rows(
+        jnp.asarray(gs.vlb), jnp.asarray(gs.vub)))
+    assert qA.shape[0] == 5
+    # at the vertex x = (1,1,1,0): lambda on that vertex index satisfies
+    # all 5 link rows exactly
+    x = np.zeros(gs.n)
+    xv = [1.0, 1.0, 1.0, 0.0]
+    for i, v in enumerate(xv):
+        x[gs.quad_vars[0][i]] = v
+    x[int(gs.quad_y[0])] = np.prod(xv)
+    vtx = sum((1 << i) for i, v in enumerate(xv) if v > 0.5)
+    x[int(gs.quad_lam0[0]) + vtx] = 1.0
+    np.testing.assert_allclose(qA @ x, 0.0, atol=1e-12)
+
+    # global solve: optimum of min -prod(x) + 0.25 x0 over sum x <= 3 is
+    # at x = (1, 1, u, v) frontier; numeric scan says obj* = -0.5625 at
+    # x0 = 1? -- assert against a fine grid scan instead of guessing
+    best = np.inf
+    for a in np.linspace(0, 1, 21):
+        for b in np.linspace(0, 1, 21):
+            for c in np.linspace(0, 1, 21):
+                d = min(1.0, 3.0 - a - b - c)
+                if d < 0:
+                    continue
+                best = min(best, -(a * b * c * d) + 0.25 * a)
+    env = Environment()
+    env.set_option("node_batch", 16)
+    env.set_option("bnb_node_limit", 4000)
+    env.set_option("bnb_time_limit", 120)
+    env.set_option("log_level", 1)
+    env.set_option("multilinear_hull", 8)
+    bab = GlobBranchAndBound(_quadlinear_problem(), env)
+    bab.solve()
+    assert bab.ub <= best + 1e-4
+    assert bab.lb >= bab.ub - 1e-3 - 1e-6 * abs(bab.ub)
