@@ -509,6 +509,13 @@ class BranchAndBound:
                 i_best = int(np.argmin(np.where(finite, obj, np.inf)))
                 self._try_round_incumbent(xs[i_best], nvlb[i_best],
                                           nvub[i_best])
+                # in-tree QP diving (reference QPDProcessor processes
+                # nodes on a QP model of the NLP; here dives launch from
+                # tree nodes' boxes, not only the root — `qpdheur`)
+                if self.env.options.get("qpdheur") and \
+                        not self._is_lp_relax and \
+                        self.stats.batches % 24 == 1:
+                    self._qpd_dive(xs[i_best], nvlb[i_best], nvub[i_best])
         for i, node in enumerate(batch):
             if id(node) in seen:
                 continue  # padding duplicate
@@ -902,15 +909,27 @@ class BranchAndBound:
                 self._accept_incumbent(xx, val)
         if opts.get("qpdheur") and not self._is_lp_relax and \
                 np.all(np.isfinite(x)):
+            self._qpd_dive(x, nvlb, nvub)
+
+    def _qpd_dive(self, x: np.ndarray, nvlb, nvub) -> None:
+        """Population QP diving from a relaxation point (reference
+        QPDProcessor's QP-model node processing, as an in-tree primal
+        heuristic).  The QP model is built once at the first call's
+        point and reused (the reference rebuilds per dive; the model
+        only seeds fixings, never bounds, so staleness is benign)."""
+        if not np.all(np.isfinite(x)):
+            return
+        opts = self.env.options
+        if not hasattr(self, "_qpd"):
             from .qpd import QPDiver
             from ..engines.ipm import IPMOptions
-            qpd = QPDiver(self.problem, self.sp, x,
-                          ipm=IPMOptions(
-                              max_iters=int(opts.get("ipm_max_iters")),
-                              tol=float(opts.get("ipm_tol"))))
-            for xx, val in qpd.run(nvlb, nvub, x,
-                                   int_tol=self._int_tol):
-                self._accept_incumbent(xx, val)
+            self._qpd = QPDiver(self.problem, self.sp, x,
+                                ipm=IPMOptions(
+                                    max_iters=int(opts.get("ipm_max_iters")),
+                                    tol=float(opts.get("ipm_tol"))))
+        for xx, val in self._qpd.run(nvlb, nvub, x,
+                                     int_tol=self._int_tol):
+            self._accept_incumbent(xx, val)
 
     def _strong_branch_init(self, x: np.ndarray, nvlb: np.ndarray,
                             nvub: np.ndarray, obj: float) -> None:
