@@ -448,9 +448,11 @@ class BranchAndBound:
         if self.sp.obj_nl is not None or len(self.sp.nl_rows):
             lo, hi = self.sp.vlb, self.sp.vub
             fl, fu = np.isfinite(lo), np.isfinite(hi)
-            cold = np.where(fl & fu, 0.5 * (lo + hi),
-                            np.where(fl, lo + 1.0,
-                                     np.where(fu, hi - 1.0, 0.0)))
+            lo_s = np.where(fl, lo, 0.0)
+            hi_s = np.where(fu, hi, 0.0)
+            cold = np.where(fl & fu, 0.5 * (lo_s + hi_s),
+                            np.where(fl, lo_s + 1.0,
+                                     np.where(fu, hi_s - 1.0, 0.0)))
         else:
             cold = np.zeros(n)
         return np.stack([nd.warm_x if nd.warm_x is not None

@@ -126,6 +126,11 @@ class IPMOptions:
     # centering weight sigma and the corrector's complementarity terms,
     # so it tolerates a shallower correction.  None = same as corrector.
     affine_kkt_rounds: Optional[int] = 1
+    # NL "solved to acceptable level" threshold (Ipopt acceptable_tol):
+    # an NL lane that plateaus at this scaled KKT error with a feasible
+    # primal counts as converged — the reference accepts Ipopt's
+    # STOP_AT_ACCEPTABLE_POINT the same way
+    acceptable_tol: float = 1e-6
     # Gondzio multiple centrality corrections (LP/QP path): after the
     # Mehrotra corrector, re-solve with a complementarity-only rhs that
     # pushes outlier products back into [0.1, 10] x (sigma*mu) at an
@@ -1108,8 +1113,13 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 # reset; the best-state ratchet and certified bounds
                 # keep everything sound.
                 # NaN-stopped NL lanes (err2 == -1) restart instead of
-                # dying: a blown step is the same pathology
-                do_rst = (stall2 >= 25) | (err2 == -1.0)
+                # dying: a blown step is the same pathology.  Restarts
+                # are for lanes stuck in BAD attractors only — a lane
+                # plateauing at 1e-6 is polishing, and resetting it
+                # would throw away a nearly-converged solve (tls4's
+                # root NLP regression)
+                do_rst = ((stall2 >= 25) & (berr2 > 1e-3)) | \
+                    (err2 == -1.0)
                 mid = jnp.where(fin_l & fin_u, 0.5 * (lz + uz),
                                 jnp.where(fin_l, lz + 1.0,
                                           jnp.where(fin_u, uz - 1.0, 0.0)))
@@ -1130,10 +1140,20 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         def cond_to(tol_target):
             def cond(carry):
                 k, err, berr = carry[4], carry[5], carry[-2]
+                stall = carry[10]
                 # loop on the BEST error seen (berr <= err); sentinel
-                # errs (< 0: NaN stop / Farkas) exit immediately
-                return (k < opts.max_iters) & (berr > tol_target) & \
+                # errs (< 0: NaN stop / Farkas) exit immediately.  NL
+                # lanes plateauing at the ACCEPTABLE level stop burning
+                # budget (Ipopt's acceptable_tol semantics — the
+                # reference treats STOP_AT_ACCEPTABLE_POINT as solved,
+                # IpoptEngine.cpp); 10 stalled iterations ~ Ipopt's
+                # acceptable_iter.
+                go = (k < opts.max_iters) & (berr > tol_target) & \
                     (err >= 0.0)
+                if has_nl:
+                    go = go & ~((berr <= opts.acceptable_tol) &
+                                (stall >= 10))
+                return go
             return cond
 
         # effective convergence target: an all-f32 tail cannot reach the
@@ -1283,6 +1303,12 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         if not has_nl:
             farkas = farkas & farkas_infeasible(y, env64, 1e-5)
         converged = (err <= eff_tol) & (err >= 0.0) & ~empty_box
+        if has_nl:
+            # acceptable-level acceptance (see acceptable_tol): scaled
+            # KKT error at the acceptable threshold AND primal feasible
+            converged = converged | (
+                (err <= opts.acceptable_tol) & (err >= 0.0) &
+                (prim_err <= 1e-6) & ~empty_box)
         if not has_nl:
             # certificate-based optimality: when the CERTIFIED dual bound
             # (never `trust`, which is derived from obj) meets the
