@@ -216,6 +216,21 @@ class QGBranchAndBound(BranchAndBound):
         active = tight.any(axis=0)
         self._cut_last_active[:self.n_cuts][active] = self.stats.batches
 
+    def _nudge_interior(self, xh: np.ndarray) -> np.ndarray:
+        """Move a point strictly inside the variable box.  Used when a
+        gradient is non-finite at xh (e.g. sqrt(x*y) rows of tls4 have a
+        singular Jacobian on the y=0 face): a gradient plane of a convex
+        body is a valid cut at ANY point, so linearizing at a nearby
+        interior point recovers a finite, valid cut where the reference
+        (and round 1) silently dropped the row."""
+        sp = self.sp_orig
+        lo, hi = sp.vlb, sp.vub
+        w = np.where(np.isfinite(hi - lo), hi - lo, 1.0)
+        eps = np.minimum(1e-4 * (1.0 + np.abs(xh)), 0.1 * np.maximum(w, 0.0))
+        lo2 = np.where(np.isfinite(lo), lo + eps, xh)
+        hi2 = np.where(np.isfinite(hi), hi - eps, xh)
+        return np.clip(xh, np.minimum(lo2, hi2), np.maximum(lo2, hi2))
+
     def _cuts_at(self, xhat_batch: np.ndarray) -> int:
         """Add linearization cuts at a batch of x-space points
         (reference: linearAt_/cutToCons_/cutToObj_)."""
@@ -223,10 +238,34 @@ class QGBranchAndBound(BranchAndBound):
         out = self._cut_gen(xhat_batch)
         added = 0
         B = xhat_batch.shape[0]
+        xhat_batch = xhat_batch.copy()  # lanes may be re-anchored below
         f = np.asarray(out["f"])
         gf = np.asarray(out["gf"])
         g = np.asarray(out["g"]) if "g" in out else None
         Jg = np.asarray(out["Jg"]) if "Jg" in out else None
+        # second pass at interior-nudged points for lanes whose gradients
+        # came back non-finite (boundary singularities)
+        bad = np.zeros(B, dtype=bool)
+        if Jg is not None:
+            bad |= ~np.isfinite(Jg).all(axis=(1, 2))
+        if self.has_eta:
+            bad |= ~np.isfinite(gf).all(axis=1)
+        bad &= np.isfinite(xhat_batch).all(axis=1)
+        if bad.any():
+            xn = np.stack([self._nudge_interior(xhat_batch[b])
+                           for b in np.where(bad)[0]])
+            out2 = self._cut_gen(xn)
+            f2 = np.asarray(out2["f"])
+            gf2 = np.asarray(out2["gf"])
+            g2 = np.asarray(out2["g"]) if "g" in out2 else None
+            Jg2 = np.asarray(out2["Jg"]) if "Jg" in out2 else None
+            # replace the lane's WHOLE evaluation (all rows + objective)
+            # so every cut of the lane is anchored at the same point
+            for j, b in enumerate(np.where(bad)[0]):
+                xhat_batch[b] = xn[j]
+                f[b], gf[b] = f2[j], gf2[j]
+                if Jg is not None:
+                    g[b], Jg[b] = g2[j], Jg2[j]
         for b in range(B):
             xh = xhat_batch[b]
             if not np.all(np.isfinite(xh)):
@@ -589,6 +628,53 @@ class QGBranchAndBound(BranchAndBound):
         if done.any():
             self._try_fixint_incumbents(x[done])
 
+    def _monotone_repair(self, xr: np.ndarray, rounds: int = 3) -> np.ndarray:
+        """Greedy integer repair of rounded points against the nonlinear
+        rows: step every integer var one unit in the direction its
+        gradient says reduces the worst violation, up to ``rounds``
+        times (reference: LinFeasPump directional rounding,
+        LinFeasPump.cpp).  Crucial on monotone rows — tls4's
+        sqrt-demand constraints are DECREASING in every integer var, so
+        plain round() is infeasible half the time while one +1 step per
+        violated row repairs it."""
+        sp = self.sp_orig
+        if sp.con_nl is None or not len(sp.nl_rows):
+            return xr
+        xr = xr.copy()
+        ints = sp.int_mask
+        big = 1e6
+        for _ in range(rounds):
+            # pad to a power-of-4 bucket so _cut_gen sees few shapes
+            B = xr.shape[0]
+            bucket = 1
+            while bucket < B:
+                bucket *= 4
+            xpad = np.concatenate([xr, np.tile(xr[:1], (bucket - B, 1))])
+            out = self._cut_gen(xpad)
+            g = np.asarray(out["g"])[:B]
+            Jg = np.nan_to_num(np.asarray(out["Jg"])[:B], nan=0.0,
+                               posinf=big, neginf=-big)
+            changed = False
+            for b in range(B):
+                for k, r in enumerate(sp.nl_rows):
+                    act = float(sp.A[r] @ xr[b] + g[b, k])
+                    grow = sp.A[r] + Jg[b, k]
+                    if np.isfinite(sp.cub[r]) and act > sp.cub[r] + 1e-7:
+                        sdir = -np.sign(grow)
+                    elif np.isfinite(sp.clb[r]) and act < sp.clb[r] - 1e-7:
+                        sdir = np.sign(grow)
+                    else:
+                        continue
+                    mask = ints & (np.abs(grow) > 1e-9)
+                    if not mask.any():
+                        continue
+                    xr[b, mask] = np.clip(xr[b, mask] + sdir[mask],
+                                          sp.vlb[mask], sp.vub[mask])
+                    changed = True
+            if not changed:
+                break
+        return xr
+
     def _vio_gated_lanes(self, batch: List[Node], xs: np.ndarray,
                          lanes: List[int]) -> List[int]:
         """Violation-score ECP gating (QGHandlerAdvance.cpp:2803-2871).
@@ -747,6 +833,20 @@ class QGBranchAndBound(BranchAndBound):
                         xs[i][:n], self._part_rows, sp.int_mask,
                         rng=self._rng, noise=0.0 if j == n_sep else 0.3))
             xr2 = np.stack(xr_list)
+            # padding lanes carry monotone-REPAIRED roundings over the
+            # GLOBAL box instead of wasted duplicates of lane 0
+            n_pad = bucket - B2
+            n_harvest = B2
+            if n_pad > 0 and len(sp.nl_rows) and (heur_lanes or sep_lanes):
+                srcs = (heur_lanes or sep_lanes)
+                pick = [srcs[j % len(srcs)] for j in range(n_pad)]
+                rep = self._monotone_repair(
+                    np.stack([np.round(xs[i][:n]) for i in pick]))
+                for j in range(n_pad):
+                    xr2[B2 + j] = rep[j]
+                    vlb2[B2 + j] = sp.vlb
+                    vub2[B2 + j] = sp.vub
+                n_harvest = bucket
             ints = sp.int_mask
             fixv = np.clip(xr2[:, ints], vlb2[:, ints], vub2[:, ints])
             vlb2[:, ints] = fixv
@@ -755,12 +855,12 @@ class QGBranchAndBound(BranchAndBound):
             nlp_res = self._nlp_solve(sp.A, sp.clb, sp.cub, vlb2, vub2, x0)
             self.qg_stats.nlp_solves += B2
             self.stats.solves += B2
-            nlp_x = np.asarray(nlp_res.x)[:B2]
-            nlp_obj = np.asarray(nlp_res.obj)[:B2]
-            nlp_status = np.asarray(nlp_res.status)[:B2]
+            nlp_x = np.asarray(nlp_res.x)[:n_harvest]
+            nlp_obj = np.asarray(nlp_res.obj)[:n_harvest]
+            nlp_status = np.asarray(nlp_res.status)[:n_harvest]
             self._cuts_at(nlp_x[:len(sep_lanes) + self._heur_cut_lanes])
             # heuristic lanes: incumbent check only
-            for j in range(len(sep_lanes), B2):
+            for j in range(len(sep_lanes), n_harvest):
                 if nlp_status[j] in (EngineStatus.SOLVED_OPTIMAL,
                                      EngineStatus.ITERATION_LIMIT) and \
                         np.all(np.isfinite(nlp_x[j])) and \
