@@ -252,13 +252,26 @@ class QGBranchAndBound(BranchAndBound):
             bad |= ~np.isfinite(gf).all(axis=1)
         bad &= np.isfinite(xhat_batch).all(axis=1)
         if bad.any():
+            # writable copies: np.asarray of jitted outputs is read-only
+            f, gf = np.array(f), np.array(gf)
+            if Jg is not None:
+                g, Jg = np.array(g), np.array(Jg)
             xn = np.stack([self._nudge_interior(xhat_batch[b])
                            for b in np.where(bad)[0]])
+            # pad to the power-of-4 bucket scheme (tile lane 0) so the
+            # data-dependent bad-lane count doesn't mint fresh jit shapes
+            nb = xn.shape[0]
+            bucket = 1
+            while bucket < nb:
+                bucket *= 4
+            if bucket > nb:
+                xn = np.concatenate([xn, np.tile(xn[:1],
+                                                 (bucket - nb, 1))])
             out2 = self._cut_gen(xn)
-            f2 = np.asarray(out2["f"])
-            gf2 = np.asarray(out2["gf"])
-            g2 = np.asarray(out2["g"]) if "g" in out2 else None
-            Jg2 = np.asarray(out2["Jg"]) if "Jg" in out2 else None
+            f2 = np.asarray(out2["f"])[:nb]
+            gf2 = np.asarray(out2["gf"])[:nb]
+            g2 = np.asarray(out2["g"])[:nb] if "g" in out2 else None
+            Jg2 = np.asarray(out2["Jg"])[:nb] if "Jg" in out2 else None
             # replace the lane's WHOLE evaluation (all rows + objective)
             # so every cut of the lane is anchored at the same point
             for j, b in enumerate(np.where(bad)[0]):
@@ -832,6 +845,7 @@ class QGBranchAndBound(BranchAndBound):
                     xr_list.append(partition_round(
                         xs[i][:n], self._part_rows, sp.int_mask,
                         rng=self._rng, noise=0.0 if j == n_sep else 0.3))
+            from .heuristics import partition_round as _part_round
             xr2 = np.stack(xr_list)
             # padding lanes carry monotone-REPAIRED roundings over the
             # GLOBAL box instead of wasted duplicates of lane 0
@@ -840,8 +854,16 @@ class QGBranchAndBound(BranchAndBound):
             if n_pad > 0 and len(sp.nl_rows) and (heur_lanes or sep_lanes):
                 srcs = (heur_lanes or sep_lanes)
                 pick = [srcs[j % len(srcs)] for j in range(n_pad)]
-                rep = self._monotone_repair(
-                    np.stack([np.round(xs[i][:n]) for i in pick]))
+                # partition-aware roundings on set-partition models:
+                # naive rounding always breaks partition rows, so plain
+                # np.round would seed every padding lane infeasible
+                if self._part_rows:
+                    seeds = [_part_round(xs[i][:n], self._part_rows,
+                                         sp.int_mask, rng=self._rng,
+                                         noise=0.3) for i in pick]
+                else:
+                    seeds = [np.round(xs[i][:n]) for i in pick]
+                rep = self._monotone_repair(np.stack(seeds))
                 for j in range(n_pad):
                     xr2[B2 + j] = rep[j]
                     vlb2[B2 + j] = sp.vlb
@@ -858,7 +880,11 @@ class QGBranchAndBound(BranchAndBound):
             nlp_x = np.asarray(nlp_res.x)[:n_harvest]
             nlp_obj = np.asarray(nlp_res.obj)[:n_harvest]
             nlp_status = np.asarray(nlp_res.status)[:n_harvest]
-            self._cuts_at(nlp_x[:len(sep_lanes) + self._heur_cut_lanes])
+            # cap the cut slice at the REAL lane count: padding lanes are
+            # monotone-repaired global-box seeds meant for incumbent
+            # checks only, not cut anchors
+            self._cuts_at(nlp_x[:min(len(sep_lanes) + self._heur_cut_lanes,
+                                     B2)])
             # heuristic lanes: incumbent check only
             for j in range(len(sep_lanes), n_harvest):
                 if nlp_status[j] in (EngineStatus.SOLVED_OPTIMAL,

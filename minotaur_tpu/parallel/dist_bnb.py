@@ -68,7 +68,6 @@ class DistBranchAndBound(BranchAndBound):
         t0 = time.monotonic()
         last_log = t0
         self.status = SolveStatus.STARTED
-        n = self.sp.n
         root = Node(nid=0, depth=0, lb=-_INF,
                     vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy())
         self.pools[0].insert_root(root)
@@ -103,8 +102,9 @@ class DistBranchAndBound(BranchAndBound):
 
             vlb_b = np.stack([nd.vlb for nd in batch])
             vub_b = np.stack([nd.vub for nd in batch])
-            x0_b = np.stack([nd.warm_x if nd.warm_x is not None
-                             else np.zeros(n) for nd in batch])
+            # _lane_starts: cold NL lanes get the box midpoint (a zero
+            # start stalls nonconvex NLP lanes — see bnb.py:_lane_starts)
+            x0_b = self._lane_starts(batch)
             y0_b = self._lane_duals(batch)
             # device-resident master arrays, refreshed only when the QG
             # cut pool grew (re-uploading A every superstep through the
