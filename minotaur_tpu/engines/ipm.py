@@ -276,6 +276,13 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         # to compile through the remote-compile tunnel.
         rr = r.astype(M.dtype)
         x = base_solve(rr)
+        steps = opts.refine_steps if use_f32 \
+            else max(opts.refine_steps, 3)
+        if steps == 0:
+            # no inner refinement (the block-level KKT defect correction
+            # supersedes it): skip the residual matvec entirely — one
+            # batched (B,n,n) apply per solve saved
+            return x.astype(out_dtype)
         res = rr - apply_eff(x)
         nrm = jnp.sum(res * res)
 
@@ -464,25 +471,58 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         # assembly, and certificate *selection* proxies).
         f32 = jnp.float32
         f64 = jnp.float64
+        HI = jax.lax.Precision.HIGHEST
+
+        def _split64(a):
+            """hi/lo f32 split of an f64 operand (hi + lo == a exactly)."""
+            hi = a.astype(f32)
+            return hi, (a - hi.astype(f64)).astype(f32)
+
         if not has_nl:
-            Jm_c = jnp.where(fixed_x[None, :], 0.0, A)
-            if has_q:
-                wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
-                W_c = jnp.where(wmask, 2.0 * Q_const, 0.0)
-            else:
-                W_c = None
+            # Fixed-variable masking is FACTORED, never materialized:
+            # (mask2 . W) @ v == mx . (W @ (mx . v)) and J_colmasked @ v
+            # == A @ (mx . v) (or dx already zero on fixed coords), so
+            # every per-lane masked-operator contraction becomes a
+            # SHARED-matrix matmul.  A per-lane (B,n,n) f64 matvec is
+            # emulated at ~5-8 ms on the v5e; the shared form is ~25x
+            # cheaper and the split-f32 form below ~100x.
+            mx64 = jnp.where(fixed_x, 0.0, 1.0)
+            mx32 = mx64.astype(f32)
             _cv = lambda a: None if a is None else a.astype(f32)
-            env64 = dict(dt=f64, A=A, Jm=Jm_c, W=W_c, clb=clb, cub=cub,
+            A_sp = _split64(A)
+            Qs_sp = _split64(Qsym_const) if has_q else None
+            qV_sp = _split64(q_eigV) if q_psd else None
+            env64 = dict(dt=f64, A=A, clb=clb, cub=cub,
                          vlb=vlb, vub=vub, c=c_in,
                          Qsym=(Qsym_const if has_q else None),
                          qV=(q_eigV if q_psd else None),
                          qw=(q_eigw if q_psd else None))
-            env32 = dict(dt=f32, A=_cv(A), Jm=_cv(Jm_c), W=_cv(W_c),
+            env32 = dict(dt=f32, A=_cv(A),
                          clb=_cv(clb), cub=_cv(cub), vlb=_cv(vlb),
                          vub=_cv(vub), c=_cv(c_in),
                          Qsym=_cv(Qsym_const) if has_q else None,
                          qV=(q_eigV32 if q_psd else None),
                          qw=(q_eigw32 if q_psd else None))
+
+            def spmv(hi_lo, v64, trans=False):
+                """f64-class matvec of a SHARED f64 operator via hi/lo
+                f32 MXU matmuls + f64 vector combines.  The lo terms
+                cancel the f32 REPRESENTATION error of operator and
+                vector exactly; what remains is the f32 accumulation
+                error of the main product, ~sqrt(n)*eps32 relative —
+                ample for defect-correction residuals (targets ~1e-5)
+                at ~100x less cost than the emulated f64 matmul it
+                replaces (measured 5-8 ms per batched (B,n,n) f64
+                matvec on the v5e)."""
+                hi, lo = hi_lo
+                if trans:
+                    hi, lo = hi.T, lo.T
+                vh = v64.astype(f32)
+                vl = (v64 - vh.astype(f64)).astype(f32)
+                main = jnp.matmul(hi, vh, precision=HI)
+                corr = jnp.matmul(hi, vl, precision=HI) + \
+                    jnp.matmul(lo, vh, precision=HI)
+                return main.astype(f64) + corr.astype(f64)
         light_on = (not has_nl) and opts.factor_f32 and opts.light_phase1
 
         def residuals_e(z, y, zl, zu, e):
@@ -527,6 +567,51 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             mu / sd))
             return err, mu
 
+        def _cert_clamp_t(y, e):
+            """Row-dual clamp shared by every certificate: coordinates
+            whose needed row bound is infinite force that multiplier to
+            zero."""
+            t = -y.astype(e["dt"])
+            tc = jnp.where((t > 0) & ~_fin(jnp, e["clb"]), 0.0, t)
+            tc = jnp.where((tc < 0) & ~_fin(jnp, e["cub"]), 0.0, tc)
+            return tc
+
+        def _cert_lp_terms(tc, r, const, e):
+            """Box-LP dual objective from clamped row duals tc and
+            reduced costs r (shared by the f64 certificate and the
+            split-f32 selection proxy)."""
+            evlb, evub = e["vlb"], e["vub"]
+            rc = jnp.where((r > 0) & ~_fin(jnp, evlb), 0.0, r)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
+            box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
+                            jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
+            slack_pen = jnp.sum(jnp.abs(r - rc) * box)
+            row_term = jnp.sum(jnp.where(tc > 0, tc * e["clb"],
+                                         jnp.where(tc < 0, tc * e["cub"],
+                                                   0.0)))
+            col_term = jnp.sum(jnp.where(rc > 0, rc * evlb,
+                                         jnp.where(rc < 0, rc * evub, 0.0)))
+            b = row_term + col_term - slack_pen + const
+            return jnp.where(jnp.isnan(b), -_BIG, b)
+
+        def _cert_qp_terms(tc, quad_min, r0, e):
+            """QP certificate combine from clamped duals, the
+            eigen-space quadratic minimum, and the null-space reduced
+            costs r0 (shared by qp_cert_bound and its split proxy)."""
+            evlb, evub = e["vlb"], e["vub"]
+            rc = jnp.where((r0 > 0) & ~_fin(jnp, evlb), 0.0, r0)
+            rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
+            box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
+                            jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
+            pen = jnp.sum(jnp.abs(r0 - rc) * box)
+            col0 = jnp.sum(jnp.where(rc > 0, rc * evlb,
+                                     jnp.where(rc < 0, rc * evub, 0.0)))
+            row_term = jnp.sum(jnp.where(tc > 0, tc * e["clb"],
+                                         jnp.where(tc < 0, tc * e["cub"],
+                                                   0.0)))
+            b = row_term + quad_min + col0 - pen + sp.obj_const
+            return jnp.where(jnp.isnan(b), -_BIG, b)
+
         def cert_bound_generic(y, cvec, const, e, with_scale=False):
             """min_{z in box} [cvec.x + y.(Ax - s)] + const — the engine
             of both the certified LP dual bound and the Farkas
@@ -539,25 +624,18 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             a wrong pick costs bound tightness, never soundness)."""
             eA, eclb, ecub = e["A"], e["clb"], e["cub"]
             evlb, evub = e["vlb"], e["vub"]
-            t = -y.astype(e["dt"])
-            tc = jnp.where((t > 0) & ~_fin(jnp, eclb), 0.0, t)
-            tc = jnp.where((tc < 0) & ~_fin(jnp, ecub), 0.0, tc)
+            tc = _cert_clamp_t(y, e)
             r = cvec - eA.T @ tc          # = cvec + A'(-tc)
+            b = _cert_lp_terms(tc, r, const, e)
+            if not with_scale:
+                return b
+            # |A|'|tc| bounds the matvec's own magnitude (its fp error is
+            # a small multiple of eps times this)
             rc = jnp.where((r > 0) & ~_fin(jnp, evlb), 0.0, r)
             rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
             box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
                             jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
             slack_pen = jnp.sum(jnp.abs(r - rc) * box)
-            row_term = jnp.sum(jnp.where(tc > 0, tc * eclb,
-                                         jnp.where(tc < 0, tc * ecub, 0.0)))
-            col_term = jnp.sum(jnp.where(rc > 0, rc * evlb,
-                                         jnp.where(rc < 0, rc * evub, 0.0)))
-            b = row_term + col_term - slack_pen + const
-            b = jnp.where(jnp.isnan(b), -_BIG, b)
-            if not with_scale:
-                return b
-            # |A|'|tc| bounds the matvec's own magnitude (its fp error is
-            # a small multiple of eps times this)
             mat_mag = jnp.sum(jnp.abs(eA.T) @ jnp.abs(tc))
             scale = (jnp.sum(jnp.abs(tc) *
                              jnp.where(_fin(jnp, eclb), jnp.abs(eclb), 0.0)) +
@@ -584,6 +662,43 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 y, jnp.zeros(n, dtype=e["dt"]), 0.0, e, with_scale=True)
             return g0 > margin * (1.0 + scale)
 
+        if not has_nl:
+            def farkas_sp(y):
+                """In-loop Farkas test via split-f32 matvecs (f64-class;
+                replaces the per-iteration emulated-f64 A matmuls).
+                Every exit is still re-confirmed against env64 after the
+                loop before a lane is declared infeasible."""
+                e = env64
+                tc = _cert_clamp_t(y, e)
+                r = -spmv(A_sp, tc, trans=True)
+                evlb, evub = e["vlb"], e["vub"]
+                rc = jnp.where((r > 0) & ~_fin(jnp, evlb), 0.0, r)
+                rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
+                box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
+                                jnp.maximum(jnp.abs(evub),
+                                            jnp.abs(evlb)), 1e6)
+                slack_pen = jnp.sum(jnp.abs(r - rc) * box)
+                row_term = jnp.sum(jnp.where(tc > 0, tc * e["clb"],
+                                             jnp.where(tc < 0,
+                                                       tc * e["cub"], 0.0)))
+                col_term = jnp.sum(jnp.where(rc > 0, rc * evlb,
+                                             jnp.where(rc < 0,
+                                                       rc * evub, 0.0)))
+                g0 = row_term + col_term - slack_pen
+                g0 = jnp.where(jnp.isnan(g0), -_BIG, g0)
+                # magnitude estimate for the relative margin: f32 ample
+                mat_mag = jnp.sum(jnp.matmul(
+                    jnp.abs(env32["A"]).T, jnp.abs(tc).astype(f32),
+                    precision=HI)).astype(f64)
+                scale = (jnp.sum(jnp.abs(tc) *
+                                 jnp.where(_fin(jnp, e["clb"]),
+                                           jnp.abs(e["clb"]), 0.0)) +
+                         jnp.sum(jnp.abs(tc) *
+                                 jnp.where(_fin(jnp, e["cub"]),
+                                           jnp.abs(e["cub"]), 0.0)) +
+                         jnp.sum(jnp.abs(rc) * box) + slack_pen + mat_mag)
+                return g0 > 1e-5 * (1.0 + scale)
+
         def qp_cert_bound(y, e):
             """Certified lower bound for PSD-QP lanes:
                min_x [c.x + x'Qx + y.(Ax - s)]
@@ -593,29 +708,15 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             components of r make the unconstrained min -inf, so they are
             bounded through the box exactly like the LP certificate
             (clamp + penalty)."""
-            eA, eclb, ecub = e["A"], e["clb"], e["cub"]
-            evlb, evub = e["vlb"], e["vub"]
-            t = -y.astype(e["dt"])
-            tc = jnp.where((t > 0) & ~_fin(jnp, eclb), 0.0, t)
-            tc = jnp.where((tc < 0) & ~_fin(jnp, ecub), 0.0, tc)
-            r = e["c"] - eA.T @ tc
+            tc = _cert_clamp_t(y, e)
+            r = e["c"] - e["A"].T @ tc
             alpha = e["qV"].T @ r
             quad_min = -0.25 * jnp.sum(
                 jnp.where(q_wpos, alpha * alpha /
                           jnp.maximum(e["qw"], 1e-30), 0.0))
             # null-space part r0 = V alpha0 handled box-style
             r0 = e["qV"] @ jnp.where(q_wpos, 0.0, alpha)
-            rc = jnp.where((r0 > 0) & ~_fin(jnp, evlb), 0.0, r0)
-            rc = jnp.where((rc < 0) & ~_fin(jnp, evub), 0.0, rc)
-            box = jnp.where(_fin(jnp, evub) & _fin(jnp, evlb),
-                            jnp.maximum(jnp.abs(evub), jnp.abs(evlb)), 1e6)
-            pen = jnp.sum(jnp.abs(r0 - rc) * box)
-            col0 = jnp.sum(jnp.where(rc > 0, rc * evlb,
-                                     jnp.where(rc < 0, rc * evub, 0.0)))
-            row_term = jnp.sum(jnp.where(tc > 0, tc * eclb,
-                                         jnp.where(tc < 0, tc * ecub, 0.0)))
-            b = row_term + quad_min + col0 - pen + sp.obj_const
-            return jnp.where(jnp.isnan(b), -_BIG, b)
+            return _cert_qp_terms(tc, quad_min, r0, e)
 
         def dual_cert_bound(y, e):
             """Certified LP lower bound from any y.
@@ -637,20 +738,37 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             fully unverified engine objectives, cf. PCBProcessor)."""
             return cert_bound_generic(y, e["c"], sp.obj_const, e)
 
-        # per-iteration certified-bound ratchet, ALWAYS evaluated in f64
-        # even in the light phase: the bound max'es over the whole
-        # trajectory, and free-variable penalties amplify dual residuals
-        # by the 1e6 box estimate, so an f32 proxy is noise (~0.1) and
-        # any single-candidate selection loses the max (measured: 4e-4
-        # looser root bounds).  Cost: ONE f64 matvec per iteration —
-        # negligible next to the f64 factorization/refinement work the
-        # light phase removes.
+        # Per-iteration certified-bound ratchet: the bound max'es over
+        # the whole trajectory (a single-candidate selection measured
+        # 4e-4 looser root bounds), but the f64 evaluation cost two
+        # emulated (n,n) matvecs per iteration on the QP path.  The loop
+        # therefore SELECTS the best dual candidate with a split-f32
+        # proxy (f64-class accuracy from f32 MXU matmuls, see spmv) and
+        # carries the winning y; the SOUND bound is re-evaluated from
+        # that carried y in true f64 once after the loop — the proxy
+        # value itself is never used as a prune bound.
         if is_lp:
             cert_f64 = lambda y: dual_cert_bound(y, env64)
+
+            def cert_proxy(y):
+                tc = _cert_clamp_t(y, env64)
+                r = c_in - spmv(A_sp, tc, trans=True)
+                return _cert_lp_terms(tc, r, sp.obj_const, env64)
         elif q_psd:
             cert_f64 = lambda y: qp_cert_bound(y, env64)
+
+            def cert_proxy(y):
+                tc = _cert_clamp_t(y, env64)
+                r = c_in - spmv(A_sp, tc, trans=True)
+                alpha = spmv(qV_sp, r, trans=True)
+                quad_min = -0.25 * jnp.sum(
+                    jnp.where(q_wpos, alpha * alpha /
+                              jnp.maximum(q_eigw, 1e-30), 0.0))
+                r0 = spmv(qV_sp, jnp.where(q_wpos, 0.0, alpha))
+                return _cert_qp_terms(tc, quad_min, r0, env64)
         else:
             cert_f64 = None
+            cert_proxy = None
 
         def make_step(use_f32, sopts=opts, light=False, ratchet=True):
           """One IPM iteration.  `use_f32` picks the FACTOR dtype;
@@ -667,8 +785,8 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
           fdt = f32 if use_f32 else f64
 
           def step(carry):
-            (z, y, zl, zu, k, err, mu_prev, best_db, rvec, nu, stall,
-             bz, by, bzl, bzu, berr, bmu) = carry
+            (z, y, zl, zu, k, err, mu_prev, best_db, best_y, rvec, nu,
+             stall, bz, by, bzl, bzu, berr, bmu) = carry
             x, s = z[:n], z[n:]
             dl, du = distances(z)
             if has_nl:
@@ -703,110 +821,172 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 #   [J_eq   0 ] [dy_eq] = [rhs3_eq]
                 # Fixed vars are exactly eliminated: column-masked J,
                 # masked W, unit diagonal, zero rhs -> dx = 0 on them.
+                ineq_w = Ds_d.at[eq_rows].set(0.0) if m_eq else Ds_d
                 if has_nl:
                     Jm = jnp.where(fixed_x[None, :], 0.0, J)
                     W = hess_W(x, y)
                     wmask = (~fixed_x)[:, None] & (~fixed_x)[None, :]
                     W = jnp.where(wmask, W, 0.0)
-                else:
-                    Jm = e["Jm"]          # hoisted (constant per solve)
-                    W = e["W"]            # None for LP
-                ineq_w = Ds_d.at[eq_rows].set(0.0) if m_eq else Ds_d
-                # KKT assembly dtype: f32 whenever the factorization is
-                # f32 (light phase, or light_assembly in f64 steps) — the
-                # f64 product only fed the solver's internal refinement,
-                # which the f64 block corrections below supersede.  Use
-                # the hoisted f32 operator copies where they exist so the
-                # cast isn't paid per iteration.
-                if light or (use_f32 and sopts.light_assembly):
-                    if has_nl:
+                    if light or (use_f32 and sopts.light_assembly):
                         Jm_f = Jm.astype(fdt)
                         W_f = W.astype(fdt)
+                        w_f = ineq_w.astype(fdt)
+                        Mx = jnp.diag(Dx_d.astype(fdt)) + \
+                            (Jm_f.T * w_f[None, :]) @ Jm_f + W_f
                     else:
-                        Jm_f = env32["Jm"]
-                        W_f = env32["W"]
-                    w_f = ineq_w.astype(fdt)
-                    Mx = jnp.diag(Dx_d.astype(fdt)) + \
-                        (Jm_f.T * w_f[None, :]) @ Jm_f
-                    if not is_lp:
-                        Mx = Mx + W_f
-                else:
-                    Mx = jnp.diag(Dx_d) + (Jm.T * ineq_w[None, :]) @ Jm
-                    if not is_lp:
-                        Mx = Mx + W
-                solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts, use_f32,
-                                               out_dtype=dt)
-                if m_eq:
-                    Je = Jm[eq_rows]
-                    MeJ = solve_mx(Je.T)
-                    S = Je @ MeJ + 1e-10 * jnp.eye(m_eq, dtype=dt)
-                    solve_s, _ = _make_spd_solver(jax, jnp, S, sopts,
-                                                  use_f32, out_dtype=dt)
+                        Mx = jnp.diag(Dx_d) + \
+                            (Jm.T * ineq_w[None, :]) @ Jm + W
+                    solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts,
+                                                   use_f32, out_dtype=dt)
+                    if m_eq:
+                        Je = Jm[eq_rows]
+                        MeJ = solve_mx(Je.T)
+                        S = Je @ MeJ + 1e-10 * jnp.eye(m_eq, dtype=dt)
+                        solve_s, _ = _make_spd_solver(jax, jnp, S, sopts,
+                                                      use_f32, out_dtype=dt)
 
-                def raw_xyz(rhs1, rhs2, rhs3):
-                    rx = rhs1 + Jm.T @ (ineq_w * rhs3.astype(dt) +
-                                        rhs2.astype(dt))
-                    rx = jnp.where(fixed_x, 0.0, rx)
+                    def raw_xyz(rhs1, rhs2, rhs3):
+                        rx = rhs1 + Jm.T @ (ineq_w * rhs3.astype(dt) +
+                                            rhs2.astype(dt))
+                        rx = jnp.where(fixed_x, 0.0, rx)
+                        if m_eq:
+                            t = solve_mx(rx)
+                            dy_eq = solve_s(Je @ t -
+                                            rhs3.astype(dt)[eq_rows])
+                            dx = t - MeJ @ dy_eq
+                        else:
+                            dx = solve_mx(rx)
+                        dx = jnp.where(fixed_x, 0.0, dx)
+                        ds = J @ dx - rhs3
+                        dy = Ds_d * ds - rhs2
+                        if m_eq:
+                            # equality slacks do not move; their
+                            # multipliers come from the Schur block
+                            ds = ds.at[eq_rows].set(0.0)
+                            dy = dy.at[eq_rows].set(dy_eq)
+                        return dx, ds, dy
+
+                    def corr_resid(dxc, dsc, dyc, cdt):
+                        # NL correction residuals need the fresh per-lane
+                        # J and W anyway — true-f64 structured operator
+                        cDx = Dx_diag.astype(cdt)
+                        cDs = Ds.astype(cdt)
+                        wdx = W @ dxc + cDx * dxc
+                        return (wdx + J.T @ dyc, cDs * dsc - dyc,
+                                J @ dxc - dsc)
+                else:
+                    # LP/QP: SHARED operators with factored fixed-masks —
+                    # no per-lane (B,n,n)/(B,m,n) operator is ever built
+                    # (a batched f64 matvec is ~7x the cost of the shared
+                    # form on the v5e).  Assembly runs in the factor
+                    # dtype; the SOLVE CHAIN stays in the iteration dtype
+                    # dt: the barrier weights span ~1e12, so w*rhs
+                    # products and the multiplier recovery lose ~8 digits
+                    # in f32 (measured: glob-hull lb loosened 1e-3) —
+                    # and f64 VECTOR ops plus shared f64 matvecs are
+                    # launch-overhead-bound on the v5e anyway (0.86 ms
+                    # shared-f64 vs 0.88 ms split-f32).
+                    adt = fdt if (light or sopts.light_assembly) else dt
+                    easm = env32 if adt == f32 else env64
+                    mxa = mx32 if adt == f32 else mx64
+                    ed = env32 if dt == f32 else env64
+                    Adt = ed["A"]
+                    mxd = mx32 if dt == f32 else mx64
+                    w_a = ineq_w.astype(adt)
+                    gram = jnp.matmul(easm["A"].T * w_a[None, :],
+                                      easm["A"], precision=HI)
+                    core = gram if is_lp else gram + easm["Qsym"]
+                    Mx = core * (mxa[:, None] * mxa[None, :]) + \
+                        jnp.diag(Dx_d.astype(adt))
+                    solve_mx, _ = _make_spd_solver(jax, jnp, Mx, sopts,
+                                                   use_f32, out_dtype=dt)
                     if m_eq:
-                        t = solve_mx(rx)
-                        dy_eq = solve_s(Je @ t - rhs3.astype(dt)[eq_rows])
-                        dx = t - MeJ @ dy_eq
-                    else:
-                        dx = solve_mx(rx)
-                    dx = jnp.where(fixed_x, 0.0, dx)
-                    ds = J @ dx - rhs3
-                    dy = Ds_d * ds - rhs2
-                    if m_eq:
-                        # equality slacks do not move; their multipliers
-                        # come from the Schur block
-                        ds = ds.at[eq_rows].set(0.0)
-                        dy = dy.at[eq_rows].set(dy_eq)
-                    return dx, ds, dy
+                        Ae = Adt[eq_rows]
+                        MeJ = solve_mx(mxd[:, None] * Ae.T)
+                        S = Ae @ (mxd[:, None] * MeJ) + \
+                            1e-10 * jnp.eye(m_eq, dtype=dt)
+                        solve_s, _ = _make_spd_solver(jax, jnp, S, sopts,
+                                                      use_f32,
+                                                      out_dtype=dt)
+
+                    def raw_xyz(rhs1, rhs2, rhs3):
+                        r2 = rhs2.astype(dt)
+                        r3 = rhs3.astype(dt)
+                        rx = rhs1 + mxd * (Adt.T @ (ineq_w * r3 + r2))
+                        rx = jnp.where(fixed_x, 0.0, rx)
+                        if m_eq:
+                            t = solve_mx(rx)
+                            dy_eq = solve_s(Ae @ (mxd * t) - r3[eq_rows])
+                            dx = t - MeJ @ dy_eq
+                        else:
+                            dx = solve_mx(rx)
+                        dx = jnp.where(fixed_x, 0.0, dx)
+                        ds = Adt @ dx - r3
+                        dy = Ds_d * ds - r2
+                        if m_eq:
+                            ds = ds.at[eq_rows].set(0.0)
+                            dy = dy.at[eq_rows].set(dy_eq)
+                        return dx, ds, dy
+
+                    def corr_resid(dxc, dsc, dyc, cdt):
+                        # residuals against the SHARED structured
+                        # operator (mask factored: (mask2.W)@v ==
+                        # mx.(W@(mx.v))) — never a per-lane (B,n,n)
+                        # matvec (emulated f64 at ~7x the shared cost)
+                        cDx = Dx_diag.astype(cdt)
+                        cDs = Ds.astype(cdt)
+                        if cdt == f32:
+                            wdx = cDx * dxc
+                            if not is_lp:
+                                wdx = wdx + mx32 * jnp.matmul(
+                                    env32["Qsym"], mx32 * dxc,
+                                    precision=HI)
+                            jt = jnp.matmul(env32["A"].T, dyc,
+                                            precision=HI)
+                            jdx = jnp.matmul(env32["A"], dxc,
+                                             precision=HI)
+                        else:
+                            wdx = cDx * dxc
+                            if not is_lp:
+                                wdx = wdx + mx64 * (env64["Qsym"] @
+                                                    (mx64 * dxc))
+                            jt = mx64 * (env64["A"].T @ dyc)
+                            jdx = env64["A"] @ dxc
+                        return wdx + jt, cDs * dsc - dyc, jdx - dsc
 
                 def solve_xyz(rhs1, rhs2, rhs3, rounds=None):
                     """raw solve + KKT-level defect correction: the naive
                     multiplier recovery dy = Ds*ds - rhs2 multiplies the
                     factor-dtype solve error by Ds (up to ~1e12 near
                     convergence), so residuals of the BLOCK equations are
-                    recomputed against the true operator and the
+                    recomputed against the structured operator and the
                     correction re-solved jointly.  Residual dtype: f32 in
-                    the light phase (1e-4 target), f64 in the tail unless
-                    tail_corr_f32 (corrections themselves ACCUMULATE in
-                    the iteration dtype).  Depth is a FIXED fori_loop:
-                    a residual-gated while_loop (stop at f64 roundoff
-                    relative to the rhs) was measured 10% WORSE on the
-                    bench (34.6 vs 38.8 nodes/s) — under vmap the loop
-                    runs to the max lane's depth anyway, so per-lane
+                    the light phase (1e-4 target), f64-CLASS split-f32 in
+                    the tail unless tail_corr_f32 (corrections themselves
+                    ACCUMULATE in the iteration dtype).  Depth is a FIXED
+                    fori_loop: a residual-gated while_loop (stop at f64
+                    roundoff relative to the rhs) was measured 10% WORSE
+                    on the bench (34.6 vs 38.8 nodes/s) — under vmap the
+                    loop runs to the max lane's depth anyway, so per-lane
                     early exit saves nothing and the gate arithmetic
                     adds cost."""
                     if rounds is None:
                         rounds = sopts.kkt_rounds
                     dx, ds, dy = raw_xyz(rhs1, rhs2, rhs3)
                     if use_f32:
-                        ce = env32 if (light or sopts.tail_corr_f32) \
-                            else env64
-                        if has_nl:
-                            ce = None
-                        cdt = ce["dt"] if ce is not None else f64
-                        cJ = ce["A"] if ce is not None else J
-                        cW = ce["W"] if ce is not None else \
-                            (None if is_lp else W)
-                        cDx = Dx_diag.astype(cdt)
-                        cDs = Ds.astype(cdt)
+                        cdt = f32 if (light or sopts.tail_corr_f32) \
+                            and not has_nl else f64
 
                         def corr_body(_, carry):
                             dx, ds, dy = carry
                             dxc = dx.astype(cdt)
                             dsc = ds.astype(cdt)
                             dyc = dy.astype(cdt)
-                            if is_lp:
-                                wdx = cDx * dxc
-                            else:
-                                wdx = cW @ dxc + cDx * dxc
-                            e1 = rhs1.astype(cdt) - (wdx + cJ.T @ dyc)
+                            r1, r2, r3 = corr_resid(dxc, dsc, dyc, cdt)
+                            e1 = rhs1.astype(cdt) - r1
                             e1 = jnp.where(fixed_x, 0.0, e1)
-                            e2 = rhs2.astype(cdt) - (cDs * dsc - dyc)
-                            e3 = rhs3.astype(cdt) - (cJ @ dxc - dsc)
+                            e2 = rhs2.astype(cdt) - r2
+                            e3 = rhs3.astype(cdt) - r3
                             if m_eq:
                                 e2 = e2.at[eq_rows].set(0.0)
                             cx, cs, cy = raw_xyz(e1, e2, e3)
@@ -821,30 +1001,29 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 # M = J H^-1 J' + Ds^-1 (m x m).  Fixed vars are
                 # eliminated via a zero inverse-diagonal (dx stays 0).
                 Hinv_diag = jnp.where(fixed_x, 0.0, 1.0 / Dx_diag).astype(dt)
-                Hsolve = lambda r: Hinv_diag * r
-                # assembly dtype mirrors the condense_x path: build the
-                # (m,m) normal-equations matrix in f32 whenever the
-                # factorization is f32 — accuracy comes from the BLOCK
-                # defect correction below, whose residuals need only
-                # (m,n) matvecs against the structured operator (H is
-                # diagonal), never a formed f64 M.
-                if light or (use_f32 and sopts.light_assembly):
-                    Jf = env32["A"] if not has_nl else J.astype(fdt)
-                    Hf = Hinv_diag.astype(fdt)
-                    Mf = (Jf * Hf[None, :]) @ Jf.T + \
-                        jnp.diag((1.0 / Ds_d).astype(fdt))
-                else:
-                    Mf = (J * Hinv_diag[None, :]) @ J.T + \
-                        jnp.diag(1.0 / Ds_d)
+                # assembly in the factor dtype (SHARED A only — the
+                # fixed-var mask is absorbed into the zeroed Hinv
+                # diagonal); the SOLVE CHAIN stays in the iteration
+                # dtype dt (barrier-weight dynamic range, see the
+                # condense_x comment), with shared-matrix matvecs.
+                adt = fdt if (light or sopts.light_assembly) else dt
+                easm = env32 if adt == f32 else env64
+                Adt = (env32 if dt == f32 else env64)["A"]
+                Ha = Hinv_diag.astype(adt)
+                Mf = jnp.matmul(easm["A"] * Ha[None, :], easm["A"].T,
+                                precision=HI) + \
+                    jnp.diag((1.0 / Ds_d).astype(adt))
                 solve_m, _ = _make_spd_solver(jax, jnp, Mf, sopts, use_f32,
                                               out_dtype=dt)
 
                 def raw_m(rhs1, rhs2, rhs3):
-                    rhs_y = J @ Hsolve(rhs1.astype(dt)) - rhs3.astype(dt) \
-                        - rhs2.astype(dt) / Ds_d
+                    r1 = rhs1.astype(dt)
+                    r2 = rhs2.astype(dt)
+                    rhs_y = Adt @ (Hinv_diag * r1) - rhs3.astype(dt) \
+                        - r2 / Ds_d
                     dy = solve_m(rhs_y)
-                    dx = Hsolve(rhs1.astype(dt) - J.T @ dy)
-                    ds = (dy + rhs2.astype(dt)) / Ds_d
+                    dx = Hinv_diag * (r1 - Adt.T @ dy)
+                    ds = (dy + r2) / Ds_d
                     return dx, ds, dy
 
                 def solve_xyz(rhs1, rhs2, rhs3, rounds=None):
@@ -854,20 +1033,17 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                         e1 = rhs1 - (Dx*dx + J'dy)
                         e2 = rhs2 - (Ds*ds - dy)
                         e3 = rhs3 - (J dx - ds)
-                    are recomputed against the true operator in f64 and
-                    the correction re-solved — recovers f64 direction
-                    accuracy from an all-f32 factorization without an
-                    f64 (m,m) build or refinement anywhere."""
+                    are recomputed against the structured operator
+                    (split-f32, f64-class) and the correction re-solved —
+                    recovers f64 direction accuracy from an all-f32
+                    factorization without an f64 (m,m) build, refinement,
+                    or emulated-f64 matmul anywhere."""
                     if rounds is None:
                         rounds = sopts.kkt_rounds
                     dx, ds, dy = raw_m(rhs1, rhs2, rhs3)
                     if use_f32:
-                        ce = env32 if (light or sopts.tail_corr_f32) \
-                            else env64
-                        if has_nl:
-                            ce = None
-                        cdt = ce["dt"] if ce is not None else f64
-                        cJ = ce["A"] if ce is not None else J
+                        plain32 = light or sopts.tail_corr_f32
+                        cdt = f32 if plain32 else f64
                         cDx = Dx_diag.astype(cdt)
                         cDs = Ds.astype(cdt)
 
@@ -876,11 +1052,18 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                             dxc = dx.astype(cdt)
                             dsc = ds.astype(cdt)
                             dyc = dy.astype(cdt)
-                            e1 = rhs1.astype(cdt) - (cDx * dxc +
-                                                     cJ.T @ dyc)
+                            if plain32:
+                                jt = jnp.matmul(env32["A"].T, dyc,
+                                                precision=HI)
+                                jdx = jnp.matmul(env32["A"], dxc,
+                                                 precision=HI)
+                            else:
+                                jt = env64["A"].T @ dyc
+                                jdx = env64["A"] @ dxc
+                            e1 = rhs1.astype(cdt) - (cDx * dxc + jt)
                             e1 = jnp.where(fixed_x, 0.0, e1)
                             e2 = rhs2.astype(cdt) - (cDs * dsc - dyc)
-                            e3 = rhs3.astype(cdt) - (cJ @ dxc - dsc)
+                            e3 = rhs3.astype(cdt) - (jdx - dsc)
                             cx, cs, cy = raw_m(e1, e2, e3)
                             return dx + cx, ds + cs, dy + cy
 
@@ -1079,15 +1262,23 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             mu2 = jnp.where(ok, mu2, mu_prev)
             rvec2 = jnp.where(ok, rvec2, rvec)
 
-            if ratchet and cert_f64 is not None:
-                best_db = jnp.maximum(best_db, cert_f64(y_new))
+            if ratchet and cert_proxy is not None:
+                # split-f32 SELECTION of the best dual candidate; the
+                # sound bound is re-evaluated in f64 from best_y after
+                # the loop (the proxy value is never used for pruning)
+                db_new = cert_proxy(y_new)
+                db_bet = db_new > best_db
+                best_db = jnp.where(db_bet, db_new, best_db)
+                best_y = jnp.where(db_bet, y_new, best_y)
             if not has_nl:
                 # certified Farkas exit (err = -2 sentinel): infeasible
                 # lanes stop dragging the whole vmapped batch.  Light
-                # (f32) evaluations use a wider margin and are confirmed
-                # in f64 after the loop before INFEASIBLE is reported.
-                fk = farkas_infeasible(y_new, e,
-                                       1e-4 if light else 1e-5)
+                # (f32) evaluations use a wider margin; the tail uses the
+                # split-f32 evaluation at the f64 margin; every exit is
+                # confirmed in true f64 after the loop before INFEASIBLE
+                # is reported.
+                fk = farkas_infeasible(y_new, env32, 1e-4) if light \
+                    else farkas_sp(y_new)
                 err2 = jnp.where(fk, -2.0, err2)
             # best-state ratchet: an f32-factorized step near convergence
             # (tiny mu -> KKT condition past 1/eps32) can blow the iterate
@@ -1133,14 +1324,14 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 mu2 = rst(jnp.asarray(1.0, dtype=mu2.dtype), mu2)
                 stall2 = jnp.where(do_rst, 0, stall2)
             return (z_new, y_new, zl_new, zu_new, k + 1, err2, mu2,
-                    best_db, rvec2, nu2, stall2,
+                    best_db, best_y, rvec2, nu2, stall2,
                     bz2, by2, bzl2, bzu2, berr2, bmu2)
           return step
 
         def cond_to(tol_target):
             def cond(carry):
                 k, err, berr = carry[4], carry[5], carry[-2]
-                stall = carry[10]
+                stall = carry[11]
                 # loop on the BEST error seen (berr <= err); sentinel
                 # errs (< 0: NaN stop / Farkas) exit immediately.  NL
                 # lanes plateauing at the ACCEPTABLE level stop burning
@@ -1170,7 +1361,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         rvec0 = jnp.concatenate([rd_x0, rd_s0, rp0]).astype(ldt0)
         nu0 = jnp.asarray(10.0)
         state0 = (z0, y0, zl0, zu0, 0, err0, mu0, jnp.asarray(-_BIG),
-                  rvec0, nu0, 0, z0, y0, zl0, zu0, err0, mu0)
+                  y0, rvec0, nu0, 0, z0, y0, zl0, zu0, err0, mu0)
         if opts.factor_f32:
             # two-phase: f32-factorized iterations until moderately
             # converged (f32+refinement stalls once the barrier pushes the
@@ -1193,7 +1384,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             # leave the tail worse than where phase 1 passed through.
             # Farkas lanes (err == -2) keep their certificate; NaN-stopped
             # lanes (err == -1) restart the tail from their best state.
-            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1, _rv1, nu1, st1,
+            (z1, y1, zl1, zu1, k1, err1, mu1, bdb1, bY1, _rv1, nu1, st1,
              bz1, by1, bzl1, bzu1, berr1, bmu1) = state1
             use_b = (err1 == -1.0) | ((err1 >= 0.0) & (berr1 < err1))
             ub_ = lambda a, b: jnp.where(use_b, a, b)
@@ -1209,7 +1400,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 rxm, rsm, rpm = residuals_e(zm, ym, zlm, zum, env64)
             rvm = jnp.concatenate([rxm, rsm, rpm]).astype(f64)
             state1 = (zm, ym, zlm, zum, k1, ub_(berr1, err1),
-                      ub_(bmu1, mu1), bdb1, rvm, nu1, st1,
+                      ub_(bmu1, mu1), bdb1, bY1, rvm, nu1, st1,
                       bz1, by1, bzl1, bzu1, berr1, bmu1)
 
             def cond_tail(carry):
@@ -1249,7 +1440,7 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             keep2 = state2[5] < 0.0
             state2 = tuple(jnp.where(keep2, a, b)
                            for a, b in zip(state2, state3))
-        (z, y, zl, zu, iters, err, mu, best_db, _rvf, _nuf, _stf,
+        (z, y, zl, zu, iters, err, mu, best_db, best_y, _rvf, _nuf, _stf,
          bz, by, bzl, bzu, berr, bmu) = state2
         # report the best iterate seen, not the last: a blown f32 step
         # near convergence must not discard an earlier near-optimal state.
@@ -1278,13 +1469,17 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         trust = jnp.where((err <= eff_tol * 100) & (err >= 0.0),
                           obj - jnp.maximum(1e-7, 10.0 * err) *
                           (1.0 + jnp.abs(obj)), -_BIG)
+        # best_db was a split-f32 selection PROXY; the sound bound is the
+        # true-f64 certificate at the carried best_y and the final y
         if is_lp:
-            cert_db = jnp.maximum(best_db, dual_cert_bound(y, env64))
+            cert_db = jnp.maximum(dual_cert_bound(best_y, env64),
+                                  dual_cert_bound(y, env64))
             dual_bound = cert_db
         elif q_psd:
             # certified bound from the Q-eigendecomposition; a converged
             # KKT point of a convex QP also supports its own objective
-            cert_db = jnp.maximum(best_db, qp_cert_bound(y, env64))
+            cert_db = jnp.maximum(qp_cert_bound(best_y, env64),
+                                  qp_cert_bound(y, env64))
             dual_bound = jnp.maximum(cert_db, trust)
         else:
             # convex NLP: trust the converged KKT point with a tolerance
