@@ -83,6 +83,11 @@ def main():
     # correction supersedes it (measured: root 2.65 -> 1.93 s AND child
     # warm 0.60 -> 0.53 s with a better KKT floor)
     env.set_option("ipm_refine_steps", 0)
+    # single-chol fast path: dual-warm child supersteps measured ~18%
+    # faster (0.28 -> 0.23 s) at identical iteration counts; only the
+    # root (once per run) pays more iterations without the Gershgorin
+    # retry (0.81 -> 0.96 s at 39 -> 55 iters)
+    env.set_option("ipm_chol_retry", 0)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
     env.set_option("log_level", 1)
@@ -116,6 +121,15 @@ def main():
     log(f"bench: phase split device={bab.stats.t_device:.1f}s "
         f"host={bab.stats.t_host:.1f}s "
         f"({bab.stats.t_device / max(dt, 1e-9) * 100:.0f}% device)")
+    # BASELINE.json "KKT solves/sec/chip": every IPM iteration is one
+    # batched KKT factorization; each issues 3 + affine_rounds +
+    # tail_kkt_rounds direction solves of that factorization (affine +
+    # corrector raw solves + their defect-correction re-solves)
+    kkt_facts = bab.stats.ipm_iters
+    dir_per_iter = 3 + 1 + int(bab.env.options.get("ipm_tail_kkt_rounds"))
+    log(f"bench: KKT factorizations/sec/chip = {kkt_facts / dt:.1f} "
+        f"({kkt_facts} total); KKT direction solves/sec/chip = "
+        f"{kkt_facts * dir_per_iter / dt:.1f}")
 
     guard.cancel()
     print(json.dumps({

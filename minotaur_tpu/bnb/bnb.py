@@ -48,6 +48,12 @@ class BabStats:
     # per-rank report, MpiBranchAndBound.cpp:408-436)
     rebalances: int = 0
     nodes_migrated: int = 0
+    # total IPM iterations across all lanes (each = one batched KKT
+    # factorization + its direction solves) — feeds the BASELINE.json
+    # "KKT solves/sec/chip" metric reported by bench.py
+    ipm_iters: int = 0
+    # strong-branch probe lanes processed (reliability branching)
+    probes: int = 0
 
 
 class BranchAndBound:
@@ -105,6 +111,7 @@ class BranchAndBound:
             ipm=IPMOptions(max_iters=int(opts.get("ipm_max_iters")),
                            tol=float(opts.get("ipm_tol")),
                            use_pallas=bool(opts.get("ipm_use_pallas")),
+                           chol_retry=bool(opts.get("ipm_chol_retry")),
                            tail_kkt_rounds=int(
                                opts.get("ipm_tail_kkt_rounds")),
                            refine_steps=int(opts.get("ipm_refine_steps")),
@@ -348,7 +355,18 @@ class BranchAndBound:
     def _prepare_batch(self):
         """Pop + expand + pad one superstep batch.  Returns
         (batch, probes, (vlb_b, vub_b, x0_b, y0_b)) or None."""
-        batch = self.tm.pop_batch(self._batch)
+        # RESERVE lanes for queued strong-branch probes: with pad_full
+        # and a full open list, B == bucket left zero probe lanes and
+        # probes starved exactly at steady state, when branching quality
+        # matters most (reference probes synchronously per node,
+        # ReliabilityBrancher.cpp:161-236).  Capped at a quarter of the
+        # batch so node throughput keeps priority.
+        reserve = 0
+        if getattr(self, "_probe_queue", None):
+            reserve = min(len(self._probe_queue),
+                          self._strbr_limit or self._batch,
+                          max(1, self._batch // 4))
+        batch = self.tm.pop_batch(max(1, self._batch - reserve))
         if not batch:
             return None
         batch = self._expand_batch(batch)
@@ -493,6 +511,7 @@ class BranchAndBound:
         ys = np.asarray(res.y) if hasattr(res, "y") else None
         its = np.asarray(res.iters) if hasattr(res, "iters") else None
         if its is not None:
+            self.stats.ipm_iters += int(its.sum())
             self._log.debug(
                 f"  batch {self.stats.batches}: iters max={its.max()} "
                 f"mean={its.mean():.1f} conv={(status == 1).sum()}/"
@@ -1050,6 +1069,7 @@ class BranchAndBound:
         unconverged probe is still useful data."""
         db = np.asarray(res.dual_bound)
         status = np.asarray(res.status)
+        self.stats.probes += len(probes)
         for i, (j, side, fs, pvlb, pvub, px, py, pdb) in enumerate(probes):
             lane = offset + i
             parent = pdb

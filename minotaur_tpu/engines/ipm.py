@@ -72,7 +72,26 @@ class IPMOptions:
     # the bench opts into 0 via ipm_refine_steps.
     refine_steps: int = 2
     kkt_rounds: int = 1         # KKT-level defect-correction rounds (f32)
-    use_pallas: bool = False    # fuse f32-phase solves into a Pallas kernel
+    # Fuse the per-iteration f32 factorize+invert into ONE Pallas kernel
+    # (ops/pallas_kkt.py: blocked mask-vectorized Cholesky + triangular
+    # inverse + Linv'Linv).  Applies only on the TPU backend; CPU
+    # (tests, dryrun meshes) always uses the XLA path.  Default OFF:
+    # measured on the tunnel-attached v5e (scripts/microbench_calib.py
+    # shapes, B=64 n=300) the kernel factorizes+inverts in 20 ms vs the
+    # XLA single chol+cho_solve(eye) at 8.7 ms — this environment's VPU
+    # is too slow for the kernel's 384 mask-vectorized column steps —
+    # and its f32 factor is ~3x noisier (1.2e-6 vs 3.8e-7 residual),
+    # inflating warm-start iteration counts (55 vs 39 root iters).
+    # Kept as an evaluable component for real production v5e parts.
+    use_pallas: bool = False
+    # Retry a failed f32 Cholesky once with a Gershgorin shift (inertia
+    # correction).  The retry costs a SECOND unconditional batched
+    # cholesky in the traced program every iteration; with chol_retry
+    # False, failed lanes get the identity factor + certificates (sound,
+    # convergence-only fallback).  NL paths always keep the retry
+    # (indefinite Lagrangian Hessians fail routinely; LP/PSD-QP lanes
+    # only fail on extreme f32 roundoff).
+    chol_retry: bool = True
     # keep the f32 factorization in the TAIL phase too (with deeper
     # defect correction) instead of switching to f64 Cholesky — on TPU
     # the f64 factorization is emulated and dominated the whole solve
@@ -200,33 +219,63 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
     else:
         Ms = M * dinv[:, None] * dinv[None, :]
 
-    def chol(mat):
-        return jnp.linalg.cholesky(mat)
+    if use_f32 and opts.use_pallas and jax.default_backend() == "tpu":
+        # ONE fused Pallas kernel: blocked Cholesky + in-kernel
+        # Gershgorin retry + triangular inverse + Linv'Linv.  The XLA
+        # pair (two blocked chols + cho_solve(eye)) expands into many
+        # small HLO ops, and this environment is launch-overhead bound
+        # (scripts/microbench_calib.py).  flag==2 lanes got the
+        # identity, exactly like the XLA fallback below.
+        from ..ops.pallas_kkt import _spd_inverse_vmappable
+        Minv_s, _plflag = _spd_inverse_vmappable(4, False)(Ms)
+        failed = _plflag >= 2.0
+        # retried lanes' inertia shift is internal to the kernel;
+        # refinement (monotone-guarded) sees the unshifted operator
+        shift_vec = jnp.zeros_like(d)
+        bad = failed
+        bad2 = failed
+    elif use_f32 and not opts.chol_retry:
+        # single-chol fast path: no Gershgorin retry (the second
+        # unconditional batched cholesky measured pathologically slow in
+        # some XLA schedules — 739 ms vs 8.7 ms for chol+inverse alone,
+        # scripts/microbench_calib.py).  Failed lanes (NaN factor) get
+        # the identity; certificates + the NaN guard keep them sound.
+        import jax.scipy.linalg as jsl
+        L = jnp.linalg.cholesky(Ms)
+        Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
+        bad = ~jnp.all(jnp.isfinite(Minv_s))
+        Minv_s = jnp.where(bad, jnp.eye(k, dtype=Ms.dtype), Minv_s)
+        bad2 = bad
+        shift_vec = jnp.zeros_like(d)
+    else:
+        def chol(mat):
+            return jnp.linalg.cholesky(mat)
 
-    L1 = chol(Ms)
-    bad = ~jnp.all(jnp.isfinite(L1))
-    gersh = jnp.min(jnp.diagonal(Ms) -
-                    (jnp.sum(jnp.abs(Ms), axis=1) -
-                     jnp.abs(jnp.diagonal(Ms))), initial=0.0)
-    shift = jnp.where(bad, jnp.maximum(1e-6, -gersh) + 1e-6, 0.0)
-    L2 = chol(Ms + (shift + 1e-7) * jnp.eye(k, dtype=Ms.dtype))
-    L = jnp.where(bad, L2, L1)
-    bad2 = ~jnp.all(jnp.isfinite(L))
-    L = jnp.where(bad2, jnp.eye(k, dtype=L.dtype), L)
-    # the operator actually factorized (for refinement): the inertia
-    # shift lives in scaled space, i.e. adds shift * d^2 on the diagonal
-    shift_vec = jnp.where(bad, shift + 1e-7, 0.0) * d * d
+        L1 = chol(Ms)
+        bad = ~jnp.all(jnp.isfinite(L1))
+        gersh = jnp.min(jnp.diagonal(Ms) -
+                        (jnp.sum(jnp.abs(Ms), axis=1) -
+                         jnp.abs(jnp.diagonal(Ms))), initial=0.0)
+        shift = jnp.where(bad, jnp.maximum(1e-6, -gersh) + 1e-6, 0.0)
+        L2 = chol(Ms + (shift + 1e-7) * jnp.eye(k, dtype=Ms.dtype))
+        L = jnp.where(bad, L2, L1)
+        bad2 = ~jnp.all(jnp.isfinite(L))
+        L = jnp.where(bad2, jnp.eye(k, dtype=L.dtype), L)
+        # the operator actually factorized (for refinement): the inertia
+        # shift lives in scaled space, adding shift * d^2 diagonally
+        shift_vec = jnp.where(bad, shift + 1e-7, 0.0) * d * d
 
-    import jax.scipy.linalg as jsl
+        import jax.scipy.linalg as jsl
 
-    # Explicit inverse of the scaled factorized operator: triangular-solve
-    # CALLS are latency-bound on TPU (~8 ms each regardless of rhs width),
-    # and the IPM issues dozens per iteration — so pay 2 wide TRSMs here
-    # and make every subsequent solve a pure MXU matmul.
-    # NOTE: Linv.T @ Linv (one triangular solve + one matmul) was
-    # measured 3x WORSE end-to-end than cho_solve's two triangular
-    # passes on the v5e bench — keep cho_solve.
-    Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
+        # Explicit inverse of the scaled factorized operator:
+        # triangular-solve CALLS are latency-bound on TPU (~8 ms each
+        # regardless of rhs width), and the IPM issues dozens per
+        # iteration — so pay 2 wide TRSMs here and make every
+        # subsequent solve a pure MXU matmul.
+        # NOTE: Linv.T @ Linv (one triangular solve + one matmul) was
+        # measured 3x WORSE end-to-end than cho_solve's two triangular
+        # passes on the v5e bench — keep cho_solve.
+        Minv_s = jsl.cho_solve((L, True), jnp.eye(k, dtype=L.dtype))
 
     if out_dtype is None:
         out_dtype = M.dtype
@@ -237,7 +286,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         # All arithmetic stays in M's dtype — the caller chooses f32 to
         # avoid emulated-f64 matvecs (TPU).
         rr = r if r.ndim == 2 else r[:, None]
-        u = (rr.astype(M.dtype) * dinv_m[:, None]).astype(L.dtype)
+        u = (rr.astype(M.dtype) * dinv_m[:, None]).astype(Ms.dtype)
         v = Minv_s @ u
         out = v.astype(M.dtype) * dinv_m[:, None]
         return out if r.ndim == 2 else out[:, 0]
@@ -247,21 +296,6 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         if x.ndim == 2:
             return M @ x + shift_vec[:, None] * x
         return M @ x + shift_vec * x
-
-    if use_f32 and opts.use_pallas:
-        # all-f32 fused path (phase-1 only targets 1e-4): one Pallas
-        # kernel per solve instead of ~12 separate ops per refinement
-        from ..ops.pallas_kernels import refined_spd_solve_f32
-
-        _interp = jax.default_backend() == "cpu"
-
-        def solve_pallas(r):
-            if r.ndim == 2:
-                # matrix rhs stays on the XLA path
-                return solve_xla(r)
-            x = refined_spd_solve_f32(Minv_s, M, dinv, shift_vec, r,
-                                      refine_steps=2, interpret=_interp)
-            return x.astype(out_dtype)
 
     def solve_xla(r):
         # Refinement needed now that solves go through an explicit
@@ -303,8 +337,7 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         x, _, _ = jax.lax.fori_loop(0, steps, refine_body, (x, res, nrm))
         return x.astype(out_dtype)
 
-    solve = solve_pallas if (use_f32 and opts.use_pallas) else solve_xla
-    return solve, (bad & bad2)
+    return solve_xla, (bad & bad2)
 
 
 def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),

@@ -77,7 +77,8 @@ def _create_default_options(db: OptionDB) -> None:
     ins("nlp_engine", str, "NLP engine (ipm)", "ipm")
     ins("ipm_max_iters", int, "max IPM iterations per solve", 90)
     ins("ipm_tol", float, "IPM convergence tolerance", 1e-8)
-    ins("ipm_use_pallas", bool, "fuse f32-phase SPD solves into the Pallas\n        kernel (TPU only)", False)
+    ins("ipm_use_pallas", bool, "fuse the per-iteration f32 factorize+invert into one Pallas kernel (TPU backend only; CPU always uses the XLA path; measured slower than the XLA chol path on the tunnel-attached v5e, see IPMOptions.use_pallas)", False)
+    ins("ipm_chol_retry", bool, "retry failed f32 Cholesky with a Gershgorin shift (off = single-chol fast path; failed lanes fall back to identity + certificates)", True)
     ins("ipm_tail_kkt_rounds", int, "defect-correction depth in the IPM's "
         "f32 tail (speed/accuracy knob; deeper = fewer iterations, more "
         "per-iteration f64 matvecs)", 8)
