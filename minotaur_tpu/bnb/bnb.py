@@ -119,6 +119,26 @@ class BranchAndBound:
                                opts.get("ipm_affine_kkt_rounds")),
                            **dt_kw))
         self._step = build_node_step(self.sp, step_opts)
+        # QPD node processor (reference QPDProcessor.{h,cpp}, 2136 LoC):
+        # nodes are processed on a PSD-projected QP model of the MINLP
+        # (one batched QP superstep instead of NLP solves); prune and
+        # incumbent decisions are VERIFIED on the true model
+        # (_qpd_verify).  FBBT inside the QP step is disabled — interval
+        # tightening against LINEARIZED rows is not valid for the true
+        # feasible set; verified lanes get true-model FBBT boxes.
+        self._qpd_step = None
+        self._qpd_dev = None
+        self._qpd_verified = 0
+        if str(opts.get("nodeproc")) == "qpd" and \
+                (len(self.sp.nl_rows) or self.sp.obj_nl is not None):
+            from .qpd import build_qp_approx
+            xr = 0.5 * (np.where(np.isfinite(self.sp.vlb),
+                                 self.sp.vlb, -1.0) +
+                        np.where(np.isfinite(self.sp.vub),
+                                 self.sp.vub, 1.0))
+            self.sp_qp = build_qp_approx(self.sp, xr)
+            self._qpd_step = build_node_step(
+                self.sp_qp, dataclasses.replace(step_opts, fbbt_rounds=0))
         self._is_lp_relax = self.sp.is_lp_relaxable
         # PSD-QP relaxations also get certified dual bounds from the
         # engine (eigendecomposition-based; engines/ipm.py qp_cert_bound)
@@ -302,7 +322,9 @@ class BranchAndBound:
                 prep = self._prepare_batch()
                 if prep is not None:
                     batch, probes, arrays = prep
-                    handle = self._dispatch_step(*arrays)
+                    handle = self._dispatch_step(
+                        *arrays, qpd=True,
+                        qpd_force=[nd.lb <= -1e19 for nd in batch])
                     cur = (batch, probes, handle, t_d0)
             if not pipeline and cur is not None:
                 # serial mode: process immediately, nothing stays in flight
@@ -434,23 +456,103 @@ class BranchAndBound:
                                 jnp.asarray(self.sp.cub))
         return self._dev_consts
 
-    def _dispatch_step(self, vlb_b, vub_b, x0_b, y0_b=None):
+    def _dispatch_step(self, vlb_b, vub_b, x0_b, y0_b=None, qpd=False,
+                       qpd_force=None):
         """Launch one superstep asynchronously; returns a handle for
         _fetch_step.  Falls back to synchronous execution for step
-        functions without an async surface."""
-        A, clb, cub = self._device_consts()
+        functions without an async surface.  With qpd=True and the QPD
+        node processor active, the batch is solved on the QP model and
+        verified on the true model at fetch time (heuristic/probe/dive
+        callers keep the true model: their semantics assume it)."""
         if y0_b is None:
             y0_b = np.zeros((vlb_b.shape[0], self.sp.m))
+        if qpd and self._qpd_step is not None:
+            Aq, clbq, cubq = self._qpd_consts()
+            return ("qp", self._qpd_step.dispatch(
+                Aq, clbq, cubq, vlb_b, vub_b, x0_b, y0_b),
+                (vlb_b, vub_b, x0_b, y0_b, qpd_force))
+        A, clb, cub = self._device_consts()
         if hasattr(self._step, "dispatch"):
             return ("async", self._step.dispatch(A, clb, cub, vlb_b, vub_b,
                                                  x0_b, y0_b))
         return ("sync", self._step(A, clb, cub, vlb_b, vub_b, x0_b, y0_b))
 
     def _fetch_step(self, handle):
-        kind, payload = handle
+        kind = handle[0]
+        if kind == "qp":
+            res_qp = self._qpd_step.unpack(handle[1])
+            return self._qpd_verify(res_qp, handle[2])
+        payload = handle[1]
         if kind == "async":
             return self._step.unpack(payload)
         return payload
+
+    def _qpd_consts(self):
+        if self._qpd_dev is None:
+            import jax.numpy as jnp
+            self._qpd_dev = (jnp.asarray(self.sp_qp.A),
+                             jnp.asarray(self.sp_qp.clb),
+                             jnp.asarray(self.sp_qp.cub))
+        return self._qpd_dev
+
+    def _qpd_relinearize(self, x_ref: np.ndarray) -> None:
+        """Re-linearize the QP model's nonlinear rows at x_ref (the
+        reference rebuilds its QP approximation as it descends,
+        QPDProcessor.cpp; here rows are TRACED arguments, so the refresh
+        never recompiles — only the quadratic objective stays anchored
+        at the initial reference point)."""
+        from .qpd import qp_row_linearization
+        A, clb, cub = qp_row_linearization(self.sp, x_ref)
+        self.sp_qp.A[:], self.sp_qp.clb[:], self.sp_qp.cub[:] = A, clb, cub
+        self._qpd_dev = None
+
+    def _qpd_verify(self, res, inputs):
+        """QPDProcessor prune guard (reference QPDProcessor.cpp:
+        processQP_/solveNLP_): the QP model is NOT a relaxation of the
+        MINLP, so any lane whose QP result would PRUNE the node
+        (infeasible, or bound above the cutoff) or ACCEPT an incumbent
+        (integral point) is re-solved on the TRUE model before the
+        decision; every other lane keeps the QP point for BRANCHING
+        only — status forced to ITERATION_LIMIT with a -inf dual bound,
+        which makes _process_result branch from the parent bound and
+        never prune on QP data."""
+        from .step import StepResult
+        vlb_b, vub_b, x0_b, y0_b, force = inputs
+        B = vlb_b.shape[0]
+        status = np.array(res.status)
+        db = np.array(res.dual_bound)
+        cutoff = self._cutoff()
+        # force: lanes that must resolve on the true model regardless —
+        # nodes without a finite inherited bound (the root generation:
+        # their true bound seeds the lb cone) and dead-end lanes
+        # (bvar < 0: an unverified dead end would cap unresolved_lb at
+        # -inf forever)
+        need = ((status == EngineStatus.SOLVED_INFEASIBLE) |
+                (db >= cutoff) | np.array(res.int_feasible) |
+                (np.array(res.branch_var) < 0))
+        if force is not None:
+            need[:len(force)] |= np.asarray(force, dtype=bool)
+        idx = np.where(need)[0]
+        fields = {f: np.array(getattr(res, f)) for f in res._fields}
+        if len(idx):
+            k = len(idx)
+            bucket = 1
+            while bucket < k:
+                bucket *= 4
+            pick = np.concatenate([idx, np.full(bucket - k, idx[0],
+                                                dtype=idx.dtype)])
+            A, clb, cub = self._device_consts()
+            r = self._step(A, clb, cub, vlb_b[pick], vub_b[pick],
+                           np.array(res.x)[pick], np.array(res.y)[pick])
+            self.stats.solves += k
+            self._qpd_verified += k
+            for fname in res._fields:
+                fields[fname][idx] = np.asarray(getattr(r, fname))[:k]
+        other = np.setdiff1d(np.arange(B), idx)
+        fields["status"][other] = int(EngineStatus.ITERATION_LIMIT)
+        fields["dual_bound"][other] = -_INF
+        fields["int_feasible"][other] = False
+        return StepResult(**fields)
 
     def _expand_batch(self, batch: List[Node]) -> List[Node]:
         """Lane-expansion hook: MsBranchAndBound replicates each node
@@ -696,6 +798,12 @@ class BranchAndBound:
         # Runs on ANY finite root point — an ITERATION_LIMIT root (f32
         # tail floor) still carries a perfectly roundable near-solution,
         # and skipping it left the whole tree incumbent-less (round 1).
+        if node.nid == 0 and self._qpd_step is not None and \
+                np.all(np.isfinite(x)):
+            # anchor the QP model at the root relaxation solution (the
+            # initial build used the box midpoint); traced rows make
+            # this refresh recompile-free
+            self._qpd_relinearize(x)
         if node.nid == 0 and self.ub >= _INF and \
                 self.sp.int_mask.any() and np.all(np.isfinite(x)):
             self._root_rounding(x, nvlb, nvub)

@@ -29,6 +29,32 @@ from ..utils.types import EngineStatus
 _INF = float("inf")
 
 
+def qp_row_linearization(sp: StagedProblem, x0: np.ndarray):
+    """First-order linearization of every nonlinear row at x0:
+    returns (A, clb, cub) value arrays with the SAME shapes as the
+    staged problem's (they feed the QP model's traced arguments, so the
+    QPD node processor can RE-linearize without recompiling)."""
+    import jax
+    import jax.numpy as jnp
+
+    x0 = np.asarray(x0, dtype=np.float64)
+    A = sp.A.copy()
+    clb = sp.clb.copy()
+    cub = sp.cub.copy()
+    if sp.con_nl is not None and len(sp.nl_rows):
+        gvals = np.asarray(sp.con_nl(jnp.asarray(x0)))
+        J = np.asarray(jax.jacfwd(sp.con_nl)(jnp.asarray(x0)))
+        for k, r in enumerate(sp.nl_rows):
+            if not np.all(np.isfinite(J[k])):
+                clb[r], cub[r] = -_INF, _INF
+                continue
+            A[r] = sp.A[r] + J[k]
+            shift = float(gvals[k] - J[k] @ x0)
+            clb[r] = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
+            cub[r] = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
+    return A, clb, cub
+
+
 def build_qp_approx(sp: StagedProblem, x0: np.ndarray) -> StagedProblem:
     """Quadratic model at x0: objective = f(x0) + g.(x-x0) + 1/2 dx'H dx
     with H projected to PSD; every nonlinear row replaced by its
@@ -48,20 +74,7 @@ def build_qp_approx(sp: StagedProblem, x0: np.ndarray) -> StagedProblem:
     w, V = np.linalg.eigh(H)
     H_psd = (V * np.clip(w, 0.0, None)) @ V.T   # PSD projection
 
-    A = sp.A.copy()
-    clb = sp.clb.copy()
-    cub = sp.cub.copy()
-    if sp.con_nl is not None and len(sp.nl_rows):
-        gvals = np.asarray(sp.con_nl(jnp.asarray(x0)))
-        J = np.asarray(jax.jacfwd(sp.con_nl)(jnp.asarray(x0)))
-        for k, r in enumerate(sp.nl_rows):
-            if not np.all(np.isfinite(J[k])):
-                clb[r], cub[r] = -_INF, _INF
-                continue
-            A[r] = sp.A[r] + J[k]
-            shift = float(gvals[k] - J[k] @ x0)
-            clb[r] = sp.clb[r] - shift if np.isfinite(sp.clb[r]) else -_INF
-            cub[r] = sp.cub[r] - shift if np.isfinite(sp.cub[r]) else _INF
+    A, clb, cub = qp_row_linearization(sp, x0)
 
     # min g.x + 1/2 (x-x0)' H (x-x0)  =  x'(H/2)x + (g - H x0).x + const
     Qobj = 0.5 * H_psd

@@ -34,6 +34,12 @@ class Solver:
 
     def setup_jax(self) -> None:
         import jax
+        # honor JAX_PLATFORMS=cpu for CLI runs: this container's
+        # sitecustomize registers the axon TPU backend eagerly, so the
+        # env var alone is not enough (CLAUDE.md) — jax.config is the
+        # only reliable override
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
         cache = os.environ.get("MINOTAUR_TPU_CACHE",
                                os.path.expanduser("~/.minotaur_tpu_cache"))

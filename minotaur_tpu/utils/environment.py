@@ -113,6 +113,9 @@ def _create_default_options(db: OptionDB) -> None:
         "root (reference FixVarsHeur), batched", False)
     ins("qpdheur", bool, "population QP-diving heuristic at root "
         "(reference QPDProcessor, as a primal heuristic)", False)
+    ins("nodeproc", str, "node processor: pcb (true-relaxation supersteps) "
+        "or qpd (QP-approximation supersteps with true-model verification "
+        "of every prune/incumbent decision; reference QPDProcessor)", "pcb")
     # --- TPU-native ----------------------------------------------------
     ins("node_batch", int, "nodes processed per device superstep", 256)
     ins("bnb_pipeline", bool, "overlap host bookkeeping of batch k with "

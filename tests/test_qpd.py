@@ -59,3 +59,27 @@ def test_qpdheur_wired():
     bab = BranchAndBound(p, env=env)
     bab.solve()
     assert bab.ub <= 23.449673 + 1e-3
+
+
+def test_qpd_node_processor_matches_optimum():
+    """nodeproc=qpd: nodes are processed on the QP approximation with
+    true-model verification of every prune/incumbent decision
+    (reference QPDProcessor.cpp processQP_/solveNLP_ semantics)."""
+    from minotaur_tpu.bnb.bnb import BranchAndBound
+    from minotaur_tpu.utils.types import SolveStatus
+    p = read_nl(os.path.join(REF_TEST_INSTANCES, "nvs08.nl"))
+    env = Environment()
+    env.set_option("log_level", 1)
+    env.set_option("nodeproc", "qpd")
+    env.set_option("node_batch", 16)
+    env.set_option("bnb_node_limit", 800)
+    env.set_option("bnb_time_limit", 240)
+    bab = BranchAndBound(p, env=env)
+    st = bab.solve()
+    assert st == SolveStatus.SOLVED_OPTIMAL
+    assert abs(bab.ub - 23.449673) < 1e-4
+    # the prune guard actually fired: some lanes were re-solved on the
+    # true model (every prune/incumbent decision passes through it)
+    assert bab._qpd_verified > 0
+    # sound bound too
+    assert bab.lb <= bab.ub + 1e-9
