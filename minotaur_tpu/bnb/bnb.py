@@ -61,8 +61,20 @@ class BranchAndBound:
                  staged: Optional[StagedProblem] = None):
         self.env = env or Environment()
         self.problem = problem
-        self.sp = staged or stage_problem(problem)
         opts = self.env.options
+        if staged is None and opts.get("nl_presolve"):
+            # structure-rewriting nonlinear presolve (must run BEFORE
+            # staging): big-M sum-of-squares rows tighten to their
+            # second-order-cone form (reference NlPresHandler::
+            # quadConeRef_, NlPresHandler.cpp:1135)
+            from .nlpres import quad_cone_reform
+            ncr = quad_cone_reform(problem, int_tol=float(
+                opts.get("int_tol")) if opts.get("int_tol") else 1e-6)
+            if ncr:
+                self.env.logger.info(
+                    f"presolve: {ncr} big-M sum-of-squares rows "
+                    f"reformulated to cone form (quadConeRef)")
+        self.sp = staged or stage_problem(problem)
         order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
                      opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)
@@ -244,6 +256,11 @@ class BranchAndBound:
         if st == SolveStatus.SOLVED_INFEASIBLE:
             self.status = SolveStatus.SOLVED_INFEASIBLE
             return self.status
+        if opts.get("nl_presolve"):
+            # nonlinear-row coefficient improvement (reference
+            # NlPresHandler::coeffImpr_): after FBBT so the interval
+            # bounds feeding it are tight
+            pre.nl_coef_improve(vlb, vub)
         if lin:
             st, vlb, vub = pre.linear_presolve(vlb, vub)
             if st == SolveStatus.SOLVED_INFEASIBLE:

@@ -64,9 +64,22 @@ class OABranchAndBound(QGBranchAndBound):
             self.oa_stats.milp_nodes += master_bab.stats.nodes_processed
             self.lb = max(self.lb, master_bab.lb) if master_bab.lb > -_INF \
                 else self.lb
+            if master_bab.best_x is None and mstatus in (
+                    SolveStatus.SOLVED_TIME_LIMIT,
+                    SolveStatus.SOLVED_NODE_LIMIT):
+                # master hit its limit WITHOUT an integer point: OA has
+                # no fixing candidate to continue with.  This is a limit
+                # outcome, not infeasibility (the round-2 code
+                # misreported it as SOLVED_INFEASIBLE on tls4).
+                self.unresolved_lb = min(self.unresolved_lb,
+                                         master_bab.lb)
+                self.status = mstatus
+                break
             if mstatus == SolveStatus.SOLVED_INFEASIBLE or \
                     master_bab.best_x is None:
-                # master infeasible under the cutoff: incumbent is optimal
+                # master (a relaxation of the convex MINLP) EXHAUSTED
+                # under the cutoff: the incumbent is optimal (or, with
+                # no incumbent, the problem is infeasible)
                 self.status = SolveStatus.SOLVED_OPTIMAL \
                     if self.ub < _INF else SolveStatus.SOLVED_INFEASIBLE
                 if self.ub < _INF:
@@ -127,6 +140,12 @@ class _MasterMILP(BranchAndBound):
         self._step = oa._step                 # reuse compiled superstep
         self.ub = oa.ub                       # incumbent as cutoff only
         self.best_x = None
+        # each master gets a SLICE of the budget, not all of it (the
+        # round-2 driver let major iteration 1 consume the whole time
+        # limit on tls4); the reference caps its master MILP the same
+        # way (OA.cpp engine limits)
+        self._time_limit = max(30.0, oa._time_limit / 5.0)
+        self._node_limit = min(self._node_limit, 4096)
 
     def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
         import numpy as np

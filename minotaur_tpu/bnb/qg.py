@@ -641,6 +641,101 @@ class QGBranchAndBound(BranchAndBound):
         if done.any():
             self._try_fixint_incumbents(x[done])
 
+    def _run_true_dive(self, x_start: np.ndarray, lanes: int = 16,
+                       rounds: int = 24) -> None:
+        """Diving on the TRUE model (nonlinear rows + their interval
+        FBBT), not the LP master.  Master dives produce fixings that
+        violate the nonlinear rows on instances whose nl rows carry the
+        demand structure (tls4's sqrt rows: every naive rounding is
+        infeasible by ~1e3), because the master only sees their
+        linearizations.  Each round runs the fused TRUE-model step —
+        FBBT with the nonlinear-DAG projection propagates each fixing
+        through the sqrt rows before the next pick — then fixes the
+        least-fractional unfixed integers per lane (tie-broken with
+        per-lane noise), with the same 1-level backtrack as _run_dive."""
+        sp = self.sp_orig
+        if not len(sp.nl_rows):
+            return
+        if getattr(self, "_true_step", None) is None:
+            from .step import build_node_step, StepOptions
+            self._true_step = build_node_step(sp, StepOptions(
+                int_tol=self._int_tol, fbbt_rounds=2, ipm=self._ipm_opts))
+        ints = np.where(sp.int_mask)[0]
+        if not len(ints):
+            return
+        vlb = np.tile(sp.vlb, (lanes, 1))
+        vub = np.tile(sp.vub, (lanes, 1))
+        x = np.tile(x_start[:sp.n], (lanes, 1))
+        y = np.zeros((lanes, sp.m))
+        alive = np.ones(lanes, dtype=bool)
+        bt: List = [None] * lanes
+        for r in range(rounds):
+            res = self._true_step(sp.A, sp.clb, sp.cub, vlb, vub, x, y)
+            self.stats.solves += lanes
+            self.qg_stats.nlp_solves += lanes
+            status = np.asarray(res.status)
+            db = np.asarray(res.dual_bound)
+            x = np.array(res.x)
+            y = np.array(res.y)
+            nvlb = np.array(res.new_vlb)
+            nvub = np.array(res.new_vub)
+            died = alive & ((status == EngineStatus.SOLVED_INFEASIBLE) |
+                            (db >= 1e15))
+            for b in np.where(died)[0]:
+                if bt[b] is not None:
+                    old_lo, old_hi, pick, v = bt[b]
+                    nvlb[b] = old_lo
+                    nvub[b] = old_hi
+                    lpv = x[b, pick]
+                    alt = np.where(v <= lpv, v + 1.0, v - 1.0)
+                    alt = np.clip(alt, old_lo[pick], old_hi[pick])
+                    nvlb[b, pick] = alt
+                    nvub[b, pick] = alt
+                    bt[b] = None
+                    died[b] = False
+            alive &= ~died
+            vlb, vub = nvlb, nvub
+            if not alive.any():
+                return
+            unfixed = (vub[:, ints] - vlb[:, ints]) > 0.5
+            n_unfixed = unfixed.sum(axis=1)
+            done = alive & (n_unfixed == 0)
+            if done.any():
+                break
+            for b in np.where(alive)[0]:
+                nu = int(n_unfixed[b])
+                if nu == 0 or not np.isfinite(x[b]).all():
+                    continue
+                k = max(1, nu // max(3, rounds - 1 - r))
+                frac = np.abs(x[b, ints] - np.round(x[b, ints]))
+                frac = frac + self._rng.uniform(0, 0.05, size=len(ints)) \
+                    * (b > 0)
+                frac[~unfixed[b]] = np.inf
+                pick = ints[np.argsort(frac)[:k]]
+                if b % 2:
+                    # ceil-biased lanes: on monotone-decreasing rows
+                    # (tls4's sqrt demand constraints) rounding UP is
+                    # the feasible direction — nearest-rounding lanes
+                    # die on the demand side
+                    v = np.ceil(x[b, pick] - self._int_tol)
+                else:
+                    v = np.round(x[b, pick])
+                v = np.clip(v, vlb[b, pick], vub[b, pick])
+                bt[b] = (vlb[b].copy(), vub[b].copy(), pick, v)
+                vlb[b, pick] = v
+                vub[b, pick] = v
+        # harvest: fully-fixed alive lanes carry a true-model NLP
+        # solution at an integer fixing already
+        done = alive & ((vub[:, ints] - vlb[:, ints]) <= 0.5).all(axis=1)
+        for b in np.where(done)[0]:
+            xc = np.clip(x[b], vlb[b], vub[b])
+            xc[sp.int_mask] = np.round(xc[sp.int_mask])
+            if np.all(np.isfinite(xc)) and \
+                    self.problem.is_feasible(xc, atol=1e-5,
+                                             int_tol=self._int_tol):
+                self._accept_incumbent(
+                    xc, float(self.problem.eval_objective(xc)))
+
     def _monotone_repair(self, xr: np.ndarray, rounds: int = 3) -> np.ndarray:
         """Greedy integer repair of rounded points against the nonlinear
         rows: step every integer var one unit in the direction its
@@ -820,6 +915,11 @@ class QGBranchAndBound(BranchAndBound):
                 obj[:len(batch)], _INF)))
             if status[best_lane] == EngineStatus.SOLVED_OPTIMAL:
                 self._run_dive(xs[best_lane])
+                if self.ub >= _INF and len(self.sp_orig.nl_rows):
+                    # master dives round against LINEARIZED rows only;
+                    # the true-model dive propagates fixings through the
+                    # nonlinear rows' interval FBBT (the tls4 class)
+                    self._run_true_dive(xs[best_lane])
                 if self.ub >= _INF and self._fp is not None:
                     self._run_pump(xs[best_lane])
 

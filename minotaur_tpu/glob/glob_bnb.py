@@ -33,7 +33,8 @@ class GlobBranchAndBound:
         self.problem = problem
         opts = self.env.options
         self.gs: GlobStaged = transform(
-            problem, multilinear_hull=int(opts.get("multilinear_hull")))
+            problem, multilinear_hull=int(opts.get("multilinear_hull")),
+            multilinear_group=int(opts.get("multilinear_group")))
         order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
                      opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)

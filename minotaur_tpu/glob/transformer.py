@@ -420,7 +420,8 @@ def _interval_div(alo, ahi, blo, bhi):
 
 
 def transform(problem: Problem,
-              multilinear_hull: int = 0) -> GlobStaged:
+              multilinear_hull: int = 0,
+              multilinear_group: int = 4) -> GlobStaged:
     """Build the (x, aux) standard form for spatial branch-and-bound.
 
     Quadratic terms map to bilinear/square auxiliaries (QuadTransformer
@@ -434,7 +435,21 @@ def transform(problem: Problem,
     grouped convex hulls, built there by separation; here the hull is a
     formulation — 8 lambda columns + link rows — so it needs no
     separation loop and tightens automatically as branching shrinks the
-    box)."""
+    box).
+
+    ``multilinear_group`` caps the GROUP arity given an exact hull (the
+    reference's ml_* group-size knob, MultilinearTermsHandler.cpp):
+    terms of arity > multilinear_group decompose into a chain of grouped
+    intermediates — the recursive binarization's intermediate columns
+    carry flat factor tuples in b.mono, so every intermediate of arity
+    3..multilinear_group gets the exact lambda hull and the chain's
+    remaining links are McCormick.  Hulls over identical factor SETS
+    share their lambda columns through the hash-consed intermediate
+    columns (the YEq registries), the analogue of the reference's
+    shared group storage.  Arity caps at 4 (16 lambda columns): the
+    hull grows as 2^arity, the same economics that make the reference
+    cap its group size."""
+    multilinear_group = max(2, min(4, int(multilinear_group)))
     n = problem.n_vars
     b = _Builder(problem)
 
@@ -481,7 +496,8 @@ def transform(problem: Problem,
         for y, facs in b.mono.items():
             if len(tri_y_l) + len(quad_y_l) >= multilinear_hull:
                 break
-            if len(facs) not in (3, 4) or len(set(facs)) != len(facs):
+            if not (3 <= len(facs) <= multilinear_group) or \
+                    len(set(facs)) != len(facs):
                 continue
             if not all(np.isfinite(b.vlb[v]) and np.isfinite(b.vub[v]) and
                        abs(b.vlb[v]) < 1e8 and abs(b.vub[v]) < 1e8

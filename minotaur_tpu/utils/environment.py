@@ -67,6 +67,7 @@ def _create_default_options(db: OptionDB) -> None:
     ins("obbt", bool, "optimality-based bound tightening at root", False)
     ins("rlt_cuts", int, "max RLT bound-factor cut candidates in glob "
         "(reference SimplexQuadCutGen; 0 disables)", 16)
+    ins("multilinear_group", int, "max arity per exact lambda-hull group; higher-arity monomials chain grouped intermediates (reference ml_* group size)", 4)
     ins("multilinear_hull", int, "max trilinear terms given exact "
         "lambda-hull formulations in glob (reference "
         "MultilinearTermsHandler; 0 disables)", 8)

@@ -215,3 +215,55 @@ def test_quadlinear_hull_membership_and_solve():
     bab.solve()
     assert bab.ub <= best + 1e-4
     assert bab.lb >= bab.ub - 1e-3 - 1e-6 * abs(bab.ub)
+
+
+def _pentalinear_problem():
+    """min -x0*x1*x2*x3*x4 + 0.3*x0 over a mixed-sign box with a
+    simplex cap — arity 5 exceeds the hull group cap (4), so the term
+    chains a grouped arity-4 hull intermediate plus one McCormick
+    link."""
+    p = Problem("penta")
+    for lo, hi in ((-1.0, 2.0), (0.0, 2.0), (-1.0, 1.0), (0.0, 1.5),
+                   (0.5, 1.5)):
+        p.new_variable(lo, hi)
+    p.new_constraint(
+        Function(lf=LinearFunction({i: 1.0 for i in range(5)})),
+        -np.inf, 3.0)
+    g = ExprGraph()
+    t = g.var(0)
+    for i in range(1, 5):
+        t = g.node(Op.MULT, t, g.var(i))
+    g.set_root(g.node(Op.UMINUS, t))
+    p.new_objective(Function(lf=LinearFunction({0: 0.3}), nlf=g))
+    return p
+
+
+def test_grouped_hull_dominates_mccormick_on_arity5():
+    """A 5-linear monomial's root bound with grouped lambda hulls
+    (multilinear_group=4: the arity-3 and arity-4 INTERMEDIATES of the
+    chain get exact hulls) dominates the pure recursive-McCormick
+    chain — the reference's ml_* grouping claim
+    (MultilinearTermsHandler.cpp)."""
+    from minotaur_tpu.glob.transformer import transform as _tf
+    # structural: the chain's intermediates are grouped into hulls
+    gs = _tf(_pentalinear_problem(), multilinear_hull=8,
+             multilinear_group=4)
+    assert gs.n_t >= 1 and gs.n_q >= 1     # arity-3 + arity-4 groups
+    # group cap respected: no hull spans more than 4 factors
+    gs3 = _tf(_pentalinear_problem(), multilinear_hull=8,
+              multilinear_group=3)
+    assert gs3.n_q == 0 and gs3.n_t >= 1   # cap 3 -> trilinear only
+
+    roots = {}
+    for hull in (0, 8):
+        env = Environment()
+        env.set_option("node_batch", 8)
+        env.set_option("bnb_node_limit", 1)
+        env.set_option("bnb_time_limit", 180)
+        env.set_option("log_level", 1)
+        env.set_option("rlt_cuts", 0)
+        env.set_option("multilinear_hull", hull)
+        bab = GlobBranchAndBound(_pentalinear_problem(), env)
+        bab.solve()
+        roots[hull] = bab.lb
+    assert roots[8] >= roots[0] + 1e-6, roots
