@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.bnb.bnb import BranchAndBound, solve_file
 from minotaur_tpu.io.nl_reader import read_nl
 from minotaur_tpu.utils.environment import Environment

@@ -11,6 +11,8 @@ import os
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import Mesh
 
 from minotaur_tpu.bnb.qg import QGBranchAndBound

@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 

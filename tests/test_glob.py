@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.glob.glob_bnb import GlobBranchAndBound
 from minotaur_tpu.glob.transformer import is_convex_quadratic, transform
 from minotaur_tpu.ir.functions import Function, LinearFunction, \

@@ -4,6 +4,8 @@ FixVarsHeur.{h,cpp} wired in Bnb.cpp:152-169)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.bnb.bnb import BranchAndBound
 from minotaur_tpu.bnb.heuristics import FixVarsHeur, SamplingHeur
 from minotaur_tpu.engines.staging import stage_problem

@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.engines.staging import stage_problem
 from minotaur_tpu.io.mps_reader import read_mps
 from minotaur_tpu.io.nl_reader import read_nl

@@ -7,6 +7,8 @@ msbnb_restarts / msbnb_scheme_id) inside MsBnb/MultiStart solvers.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.bnb.multistart import MsBranchAndBound
 from minotaur_tpu.ir.expr import ExprGraph
 from minotaur_tpu.ir.functions import Function, LinearFunction, \

@@ -9,6 +9,8 @@ rows), so the root relaxation must dominate recursive McCormick.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.glob.glob_bnb import GlobBranchAndBound
 from minotaur_tpu.glob.transformer import transform
 from minotaur_tpu.ir.expr import ExprGraph

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from minotaur_tpu.bnb.qpd import QPDiver, build_qp_approx
 from minotaur_tpu.engines.staging import stage_problem
 from minotaur_tpu.io.nl_reader import read_nl
