@@ -118,9 +118,11 @@ def main():
     log(f"bench: instance={os.path.basename(INSTANCE)} status={bab.status.name} "
         f"nodes={nodes} time={dt:.1f}s ub={bab.ub:.6g} lb={bab.lb:.6g} "
         f"batches={bab.stats.batches} total_wall={time.monotonic()-t_start:.1f}s")
-    log(f"bench: phase split device={bab.stats.t_device:.1f}s "
-        f"host={bab.stats.t_host:.1f}s "
-        f"({bab.stats.t_device / max(dt, 1e-9) * 100:.0f}% device)")
+    # NOTE: dispatch/fetch windows OVERLAP host work under the pipelined
+    # driver, so these are occupancy accumulators (can exceed 100% of
+    # wall), not an additive profile
+    log(f"bench: phase occupancy device={bab.stats.t_device:.1f}s "
+        f"host={bab.stats.t_host:.1f}s of {dt:.1f}s wall (overlapped)")
     # BASELINE.json "KKT solves/sec/chip": every IPM iteration is one
     # batched KKT factorization; each issues 3 + affine_rounds +
     # tail_kkt_rounds direction solves of that factorization (affine +

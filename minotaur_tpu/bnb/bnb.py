@@ -305,7 +305,8 @@ class BranchAndBound:
         n = self.sp.n
         self._strong_branch_done = False
         if not resumed:
-            root = Node(nid=0, depth=0, lb=-_INF,
+            root = Node(nid=0, depth=0, lb=getattr(self, "_root_lb0",
+                                                   -_INF),
                         vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy(),
                         warm_x=(self.problem.initial_point.copy()
                                 if self.problem.initial_point is not None

@@ -503,6 +503,13 @@ class QGBranchAndBound(BranchAndBound):
             if status == EngineStatus.SOLVED_OPTIMAL and self.has_eta:
                 # eta >= continuous relaxation optimum (valid lower bound)
                 self.sp.vlb[sp.n] = float(res.obj[0]) - sp.obj_const - 1e-6
+                # ...and every node's objective inherits it: floor the
+                # root node bound so unconverged lanes' loose certified
+                # duals cannot drag the reported/propagated lb below the
+                # proven continuous-relaxation value (children only add
+                # cuts and tighten boxes, so the floor stays valid down
+                # the tree via parent-bound inheritance)
+                self._root_lb0 = float(res.obj[0]) - 1e-6
             # integral root NLP solution -> incumbent
             ints = sp.int_mask
             if np.all(np.abs(x0[ints] - np.round(x0[ints])) <= self._int_tol) \
