@@ -149,3 +149,18 @@ def test_benders_demo():
             tot += float(mod.PROBS[s]) * float(r.obj[0])
         best = min(best, tot)
     assert cost == pytest.approx(best, rel=1e-5)
+
+
+def test_qpd_processor_demo():
+    from minotaur_tpu.utils.types import SolveStatus
+    st, ub, verified = _load("qpd_processor_demo").main(log=False)
+    assert st == SolveStatus.SOLVED_OPTIMAL
+    assert abs(ub - 23.449673) < 1e-4
+    assert verified > 0
+
+
+def test_reliability_branching_demo():
+    from minotaur_tpu.utils.types import SolveStatus
+    st, ub, probes = _load("reliability_branching_demo").main(log=False)
+    assert st == SolveStatus.SOLVED_OPTIMAL
+    assert probes > 0
