@@ -35,6 +35,16 @@ class GlobBranchAndBound:
         self.gs: GlobStaged = transform(
             problem, multilinear_hull=int(opts.get("multilinear_hull")),
             multilinear_group=int(opts.get("multilinear_group")))
+        n_rp = int(opts.get("rlt_row_products"))
+        if n_rp > 0:
+            # static row x row RLT products (the basis-free analogue of
+            # the reference's simplex-tableau row products,
+            # SimplexQuadCutGen.cpp:640) append to the master once
+            from .rlt import append_rlt_row_products
+            added = append_rlt_row_products(self.gs, max_cuts=n_rp)
+            if added:
+                self.env.logger.info(
+                    f"rlt: {added} static row-product cuts appended")
         order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(
                      opts.get("tree_search"), TreeSearchOrder.BEST_THEN_DIVE)

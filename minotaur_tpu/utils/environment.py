@@ -68,6 +68,7 @@ def _create_default_options(db: OptionDB) -> None:
     ins("rlt_cuts", int, "max RLT bound-factor cut candidates in glob "
         "(reference SimplexQuadCutGen; 0 disables)", 16)
     ins("multilinear_group", int, "max arity per exact lambda-hull group; higher-arity monomials chain grouped intermediates (reference ml_* group size)", 4)
+    ins("rlt_row_products", int, "max static row-x-row RLT product cuts appended to the glob master (basis-free analogue of the reference's simplex-tableau row products)", 4)
     ins("multilinear_hull", int, "max trilinear terms given exact "
         "lambda-hull formulations in glob (reference "
         "MultilinearTermsHandler; 0 disables)", 8)

@@ -109,3 +109,65 @@ def test_rlt_tightens_root_and_solves():
     # x1 in [0,2] -> best at x1=1.5, value 2.25 (products total <= 3 ok
     # only if x0*x2 keeps the quad row feasible; verify by oracle value)
     assert bab.ub == pytest.approx(-2.25, abs=1e-4)
+
+
+def test_row_product_cuts_valid_and_tighten():
+    """Row x row RLT products (the tableau-product analogue): every cut
+    is satisfied by exact lifted points, and the root relaxation of a
+    nonconvex QCQP tightens when they are appended."""
+    import numpy as np
+    from minotaur_tpu.glob.rlt import enumerate_rlt_row_products
+    from minotaur_tpu.glob.transformer import transform
+    from minotaur_tpu.ir.functions import Function, LinearFunction, \
+        QuadraticFunction
+    from minotaur_tpu.ir.problem import Problem
+
+    def build():
+        p = Problem("rowprod")
+        p.new_variable(-1, 2)
+        p.new_variable(-1, 2)
+        p.new_constraint(Function(lf=LinearFunction({0: 1.0, 1: 1.0})),
+                         -np.inf, 2.0)
+        p.new_constraint(Function(lf=LinearFunction({0: 1.0, 1: -1.0})),
+                         -1.5, np.inf)
+        # nonconvex objective through a bilinear lift
+        p.new_objective(Function(
+            lf=LinearFunction({0: 0.1}),
+            qf=QuadraticFunction({(0, 1): -1.0, (0, 0): -0.5,
+                                  (1, 1): -0.3})))
+        return p
+
+    gs = transform(build())
+    got = enumerate_rlt_row_products(gs, max_cuts=16)
+    assert got is not None
+    A_new, lb, ub = got
+    assert len(lb) > 0
+    # exact lifted points satisfy every product row
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        x = rng.uniform(-1, 2, 2)
+        if x.sum() > 2.0 or (x[0] - x[1]) < -1.5:
+            continue
+        z = np.zeros(gs.n)
+        z[:2] = x
+        for t in range(gs.n_y):
+            z[gs.term_y[t]] = z[gs.term_i[t]] * z[gs.term_j[t]]
+        act = A_new @ z
+        assert np.all(act >= lb - 1e-9), (x, act, lb)
+
+    # root bound comparison with the cuts on vs off
+    from minotaur_tpu.glob.glob_bnb import GlobBranchAndBound
+    from minotaur_tpu.utils.environment import Environment
+    roots = {}
+    for rp in (0, 16):
+        env = Environment()
+        env.set_option("node_batch", 4)
+        env.set_option("bnb_node_limit", 1)
+        env.set_option("bnb_time_limit", 120)
+        env.set_option("log_level", 1)
+        env.set_option("rlt_cuts", 0)
+        env.set_option("rlt_row_products", rp)
+        bab = GlobBranchAndBound(build(), env)
+        bab.solve()
+        roots[rp] = bab.lb
+    assert roots[16] >= roots[0] - 1e-9
