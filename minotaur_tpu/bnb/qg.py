@@ -492,6 +492,18 @@ class QGBranchAndBound(BranchAndBound):
                     f"root NLP stalled; multistart rescue found a point "
                     f"(obj {bobj:.8g}, {info['n_feasible']}/"
                     f"{info['n_starts']} feasible lanes)")
+                if self.has_eta and info.get("n_feasible", 0) > 0 and \
+                        np.isfinite(bobj):
+                    # under QG's convexity contract a converged KKT
+                    # point of the continuous relaxation IS its global
+                    # optimum (the linearization cuts already rest on
+                    # convexity), so the rescue optimum anchors the eta
+                    # bound and the root floor exactly like a clean
+                    # root solve — without this, a TPU-side root stall
+                    # left tls4 floorless (lb dropped to loose
+                    # unconverged certificates, 1.71 -> 1.47)
+                    self.sp.vlb[sp.n] = bobj - sp.obj_const - 1e-6
+                    self._root_lb0 = bobj - 1e-6
         if status == EngineStatus.SOLVED_OPTIMAL and \
                 np.all(np.isfinite(x0)) and \
                 self.problem.is_feasible(x0, atol=1e-5, int_tol=_INF):
