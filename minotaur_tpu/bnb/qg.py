@@ -492,8 +492,7 @@ class QGBranchAndBound(BranchAndBound):
                     f"root NLP stalled; multistart rescue found a point "
                     f"(obj {bobj:.8g}, {info['n_feasible']}/"
                     f"{info['n_starts']} feasible lanes)")
-                if self.has_eta and info.get("n_feasible", 0) > 0 and \
-                        np.isfinite(bobj):
+                if info.get("n_feasible", 0) > 0 and np.isfinite(bobj):
                     # under QG's convexity contract a converged KKT
                     # point of the continuous relaxation IS its global
                     # optimum (the linearization cuts already rest on
@@ -502,7 +501,8 @@ class QGBranchAndBound(BranchAndBound):
                     # root solve — without this, a TPU-side root stall
                     # left tls4 floorless (lb dropped to loose
                     # unconverged certificates, 1.71 -> 1.47)
-                    self.sp.vlb[sp.n] = bobj - sp.obj_const - 1e-6
+                    if self.has_eta:
+                        self.sp.vlb[sp.n] = bobj - sp.obj_const - 1e-6
                     self._root_lb0 = bobj - 1e-6
         if status == EngineStatus.SOLVED_OPTIMAL and \
                 np.all(np.isfinite(x0)) and \
@@ -512,15 +512,19 @@ class QGBranchAndBound(BranchAndBound):
                       EngineStatus.ITERATION_LIMIT):
             self._cuts_at(x0[None, :])
             self._root_linearizations(x0)
-            if status == EngineStatus.SOLVED_OPTIMAL and self.has_eta:
-                # eta >= continuous relaxation optimum (valid lower bound)
-                self.sp.vlb[sp.n] = float(res.obj[0]) - sp.obj_const - 1e-6
+            if status == EngineStatus.SOLVED_OPTIMAL:
+                if self.has_eta:
+                    # eta >= continuous relaxation optimum (valid lb)
+                    self.sp.vlb[sp.n] = float(res.obj[0]) - \
+                        sp.obj_const - 1e-6
                 # ...and every node's objective inherits it: floor the
                 # root node bound so unconverged lanes' loose certified
                 # duals cannot drag the reported/propagated lb below the
                 # proven continuous-relaxation value (children only add
                 # cuts and tighten boxes, so the floor stays valid down
-                # the tree via parent-bound inheritance)
+                # the tree via parent-bound inheritance; valid with or
+                # without an eta column — the relaxation optimum lower-
+                # bounds the MINLP objective directly)
                 self._root_lb0 = float(res.obj[0]) - 1e-6
             # integral root NLP solution -> incumbent
             ints = sp.int_mask
