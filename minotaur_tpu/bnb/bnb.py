@@ -184,12 +184,18 @@ class BranchAndBound:
         # 469).  TPU translation: probe boxes RIDE ALONG in the padding
         # slots of the next superstep (pad_full pads to a fixed bucket
         # anyway, so probes are nearly free), and their certified dual
-        # bounds feed the pseudocosts.  strbr_iter_limit bounds the probe
+        # bounds feed the pseudocosts.  strbr_lane_limit bounds the probe
         # *queue* drained per superstep (cost bounding — per-lane engine
         # iteration caps buy nothing when the vmapped loop runs at the
-        # slowest node lane's count anyway).
+        # slowest node lane's count anyway).  The old strbr_iter_limit
+        # key is honoured as a deprecated alias when the new one is
+        # untouched, so configs tuned for the reference keep working.
         self._rel_thresh = max(0, int(opts.get("rel_thresh")))
-        self._strbr_limit = max(0, int(opts.get("strbr_iter_limit")))
+        _lane_opt = opts.find("strbr_lane_limit")
+        if _lane_opt is not None and not _lane_opt.was_set:
+            self._strbr_limit = max(0, int(opts.get("strbr_iter_limit")))
+        else:
+            self._strbr_limit = max(0, int(opts.get("strbr_lane_limit")))
         self._probe_queue: List[tuple] = []
         self._probe_pending = {}  # (j, side) -> queued count
 
@@ -1142,7 +1148,7 @@ class BranchAndBound:
     # ------------------------------------------- reliability branching
     def _pop_probes(self, k: int) -> List[tuple]:
         """Drain up to k queued strong-branch probes (bounded further by
-        strbr_iter_limit per superstep)."""
+        strbr_lane_limit per superstep)."""
         if k <= 0 or not self._probe_queue:
             return []
         k = min(k, self._strbr_limit) if self._strbr_limit else k

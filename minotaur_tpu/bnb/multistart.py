@@ -56,6 +56,7 @@ def multistart_solve(sp: StagedProblem, problem, n_starts: int = 32,
     objs = np.asarray(res.obj)
     sts = np.asarray(res.status)
     best_x, best_obj = None, float("inf")
+    best_status = None
     n_feas = 0
     for b in range(n_starts):
         if sts[b] in (EngineStatus.SOLVED_OPTIMAL,
@@ -66,7 +67,13 @@ def multistart_solve(sp: StagedProblem, problem, n_starts: int = 32,
             if objs[b] < best_obj:
                 best_obj = float(objs[b])
                 best_x = xs[b].copy()
+                best_status = int(sts[b])
+    # best_status lets callers distinguish a CONVERGED best lane
+    # (SOLVED_OPTIMAL: a KKT point whose objective may anchor bounds
+    # under a convexity contract) from a merely-feasible stalled lane
+    # (ITERATION_LIMIT: objective is an upper bound on nothing)
     info = {"n_starts": n_starts, "n_feasible": n_feas,
+            "best_status": best_status,
             "distinct_objs": len(np.unique(np.round(objs[sts == 1], 6)))}
     return best_x, best_obj, info
 

@@ -64,26 +64,30 @@ class OABranchAndBound(QGBranchAndBound):
             self.oa_stats.milp_nodes += master_bab.stats.nodes_processed
             self.lb = max(self.lb, master_bab.lb) if master_bab.lb > -_INF \
                 else self.lb
-            if master_bab.best_x is None and mstatus in (
-                    SolveStatus.SOLVED_TIME_LIMIT,
-                    SolveStatus.SOLVED_NODE_LIMIT):
-                # master hit its limit WITHOUT an integer point: OA has
-                # no fixing candidate to continue with.  This is a limit
-                # outcome, not infeasibility (the round-2 code
-                # misreported it as SOLVED_INFEASIBLE on tls4).
-                self.unresolved_lb = min(self.unresolved_lb,
-                                         master_bab.lb)
-                self.status = mstatus
-                break
-            if mstatus == SolveStatus.SOLVED_INFEASIBLE or \
-                    master_bab.best_x is None:
-                # master (a relaxation of the convex MINLP) EXHAUSTED
-                # under the cutoff: the incumbent is optimal (or, with
-                # no incumbent, the problem is infeasible)
-                self.status = SolveStatus.SOLVED_OPTIMAL \
-                    if self.ub < _INF else SolveStatus.SOLVED_INFEASIBLE
-                if self.ub < _INF:
-                    self.lb = self.ub
+            if master_bab.best_x is None:
+                # no fixing candidate to continue with.  Claim
+                # optimality/infeasibility ONLY when the master tree was
+                # genuinely exhausted under the cutoff: the driver maps
+                # an empty tree to SOLVED_OPTIMAL/SOLVED_INFEASIBLE only
+                # when unresolved_lb >= cutoff (bnb.py), so those two
+                # statuses certify "nothing below the incumbent".  Every
+                # other no-incumbent ending (TIME/NODE limit, or
+                # GAP_LIMIT/FINISHED where unresolved leaves were capped
+                # BELOW the cutoff) is a limit outcome — treating it as
+                # exhaustion would be unsound.
+                if mstatus in (SolveStatus.SOLVED_OPTIMAL,
+                               SolveStatus.SOLVED_INFEASIBLE):
+                    self.status = SolveStatus.SOLVED_OPTIMAL \
+                        if self.ub < _INF else SolveStatus.SOLVED_INFEASIBLE
+                    if self.ub < _INF:
+                        self.lb = self.ub
+                else:
+                    self.unresolved_lb = min(self.unresolved_lb,
+                                             master_bab.lb)
+                    self.status = mstatus if mstatus in (
+                        SolveStatus.SOLVED_TIME_LIMIT,
+                        SolveStatus.SOLVED_NODE_LIMIT) \
+                        else SolveStatus.SOLVED_GAP_LIMIT
                 break
             ref = max(abs(self.ub), 1.0)
             if self.ub < _INF and \

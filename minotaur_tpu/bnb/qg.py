@@ -492,7 +492,8 @@ class QGBranchAndBound(BranchAndBound):
                     f"root NLP stalled; multistart rescue found a point "
                     f"(obj {bobj:.8g}, {info['n_feasible']}/"
                     f"{info['n_starts']} feasible lanes)")
-                if info.get("n_feasible", 0) > 0 and np.isfinite(bobj):
+                if info.get("best_status") == EngineStatus.SOLVED_OPTIMAL \
+                        and np.isfinite(bobj):
                     # under QG's convexity contract a converged KKT
                     # point of the continuous relaxation IS its global
                     # optimum (the linearization cuts already rest on
@@ -500,7 +501,11 @@ class QGBranchAndBound(BranchAndBound):
                     # bound and the root floor exactly like a clean
                     # root solve — without this, a TPU-side root stall
                     # left tls4 floorless (lb dropped to loose
-                    # unconverged certificates, 1.71 -> 1.47)
+                    # unconverged certificates, 1.71 -> 1.47).  The gate
+                    # is on the BEST lane's engine status: a merely-
+                    # feasible ITERATION_LIMIT lane's objective only
+                    # upper-bounds the relaxation optimum and anchoring
+                    # on it could cut off the optimal region (unsound).
                     if self.has_eta:
                         self.sp.vlb[sp.n] = bobj - sp.obj_const - 1e-6
                     self._root_lb0 = bobj - 1e-6

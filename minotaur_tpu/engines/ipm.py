@@ -220,17 +220,21 @@ def _make_spd_solver(jax, jnp, M, opts: "IPMOptions", use_f32=None,
         Ms = M * dinv[:, None] * dinv[None, :]
 
     if use_f32 and opts.use_pallas and jax.default_backend() == "tpu":
-        # ONE fused Pallas kernel: blocked Cholesky + in-kernel
-        # Gershgorin retry + triangular inverse + Linv'Linv.  The XLA
-        # pair (two blocked chols + cho_solve(eye)) expands into many
-        # small HLO ops, and this environment is launch-overhead bound
-        # (scripts/microbench_calib.py).  flag==2 lanes got the
-        # identity, exactly like the XLA fallback below.
+        # ONE fused Pallas kernel: blocked Cholesky + triangular
+        # inverse + Linv'Linv.  The XLA pair (two blocked chols +
+        # cho_solve(eye)) expands into many small HLO ops, and this
+        # environment is launch-overhead bound
+        # (scripts/microbench_calib.py).  NOTE: the kernel has NO
+        # in-kernel Gershgorin retry (pl.when with data-dependent
+        # predicates SIGABRTs Mosaic — see ops/pallas_kkt.py); lanes
+        # whose factorization breaks down return the identity with
+        # flag=2, exactly like the XLA fallback below.
         from ..ops.pallas_kkt import _spd_inverse_vmappable
         Minv_s, _plflag = _spd_inverse_vmappable(4, False)(Ms)
         failed = _plflag >= 2.0
-        # retried lanes' inertia shift is internal to the kernel;
-        # refinement (monotone-guarded) sees the unshifted operator
+        # no shift was ever applied inside the kernel (failed lanes got
+        # the identity), so shift_vec=0 is correct for the
+        # monotone-guarded refinement below
         shift_vec = jnp.zeros_like(d)
         bad = failed
         bad2 = failed
@@ -523,7 +527,6 @@ def build_single_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
             mx32 = mx64.astype(f32)
             _cv = lambda a: None if a is None else a.astype(f32)
             A_sp = _split64(A)
-            Qs_sp = _split64(Qsym_const) if has_q else None
             qV_sp = _split64(q_eigV) if q_psd else None
             env64 = dict(dt=f64, A=A, clb=clb, cub=cub,
                          vlb=vlb, vub=vub, c=c_in,

@@ -53,7 +53,8 @@ def _create_default_options(db: OptionDB) -> None:
         "maxfreq", "rel")
     ins("sol_pool_size", int, "capacity of the best-k solution pool", 10)
     ins("br_frac_weight", float, "weight for fractionality in branching score", 0.167)
-    ins("strbr_iter_limit", int, "max strong-branch probe lanes drained from the queue per superstep (vmapped lanes share the engine iteration budget, so a per-solve iteration cap has no analogue)", 20)
+    ins("strbr_lane_limit", int, "max strong-branch probe lanes drained from the queue per superstep", 20)
+    ins("strbr_iter_limit", int, "deprecated alias of strbr_lane_limit (the reference's per-probe engine iteration cap has no analogue here: vmapped probe lanes share one engine iteration budget); consulted only when strbr_lane_limit is left at its default", 20)
     ins("rel_thresh", int, "reliability threshold for pseudo-costs", 8)
     ins("rel_cands", int, "max candidates scored by strong branching per node", 8)
     ins("vbc_file", str, "write VBC tree-trace events to this file", "")
