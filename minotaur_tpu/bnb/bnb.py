@@ -986,6 +986,15 @@ class BranchAndBound:
             return
         if getattr(self, "_pad_full", False):
             lanes = self._batch   # reuse the single compiled bucket
+        from .heuristics import (dive_round, dive_scheme_for_lane,
+                                 dive_scores)
+        scheme_opt = str(self.env.options.get("divheur_scheme"))
+        schemes = [dive_scheme_for_lane(scheme_opt, b) for b in range(lanes)]
+        grad_c = self.sp.c.copy()
+        if self.sp.Qobj is not None:
+            grad_c = grad_c + 2.0 * (self.sp.Qobj @ x)
+        ncols = (self.sp.A != 0).sum(axis=0).astype(float)
+        avg_rc = np.zeros(self.sp.n)    # filled from lane duals below
         rng = np.random.default_rng(int(self.env.options.get("rand_seed"))
                                     + 23)
         vlb = np.tile(nvlb, (lanes, 1))
@@ -1001,12 +1010,17 @@ class BranchAndBound:
                     continue
                 k = max(1, nu // max(2, rounds - 1 - r))
                 frac = np.abs(xs[b, ints] - np.round(xs[b, ints]))
-                if b:
-                    frac = frac + rng.uniform(0, 0.05, size=len(ints))
-                frac[~unfixed[b]] = np.inf
-                pick = ints[np.argsort(frac)[:k]]
-                v = np.clip(np.round(xs[b, pick]), vlb[b, pick],
-                            vub[b, pick])
+                score = dive_scores(schemes[b], xs[b], ints, frac,
+                                    grad_c, ncols, avg_rc)
+                if schemes[b] == "frac" and b:
+                    score = score + rng.uniform(0, 0.05, size=len(ints))
+                score = np.where(unfixed[b], score, np.inf)
+                pick = ints[np.argsort(score)[:k]]
+                direction = "nearest" if scheme_opt == "frac" else \
+                    ("nearest", "ceil", "floor", "farthest")[(b // 4) % 4]
+                v = np.clip(dive_round(direction, xs[b, pick],
+                                       self._int_tol),
+                            vlb[b, pick], vub[b, pick])
                 vlb[b, pick] = v
                 vub[b, pick] = v
             res = self._run_step(vlb, vub, xs)
@@ -1014,6 +1028,11 @@ class BranchAndBound:
             status = np.asarray(res.status)
             db = np.asarray(res.dual_bound)
             xs = np.asarray(res.x)
+            if any(s == "rcost" for s in schemes):
+                # running-average reduced costs over lanes+rounds
+                # (reference avgDual_, MINLPDiving.cpp:286-292)
+                rc = grad_c[None, :] - np.asarray(res.y) @ self.sp.A
+                avg_rc = (avg_rc * r + rc.mean(axis=0)) / (r + 1)
             vlb = np.asarray(res.new_vlb).copy()
             vub = np.asarray(res.new_vub).copy()
             alive &= (status != EngineStatus.SOLVED_INFEASIBLE) & (db < 1e15)

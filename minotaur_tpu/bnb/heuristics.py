@@ -308,3 +308,98 @@ class FixVarsHeur:
                             float(self.problem.eval_objective(xs[b]))))
         out.sort(key=lambda t: t[1])
         return out
+
+
+# --------------------------------------------------------------------------
+# MINLP diving scheme library (reference: MINLPDiving.h:47-53 Scoretype —
+# Fractional / VectorLength / LexBound / ReducedCost — and the Direction
+# enum Floor/Ceil/Nearest/Farthest at MINLPDiving.h:33-40).  The reference
+# runs the 4x8 scheme/direction combinations SEQUENTIALLY per dive call
+# (implementDive_ loop); here each vmapped dive LANE gets its own
+# (scheme, direction) pair, so one batched dive covers the whole family.
+
+DIVE_SCHEMES = ("frac", "veclen", "lex", "rcost")
+
+
+def dive_scheme_for_lane(option_value: str, lane: int) -> str:
+    """Lane -> scoring scheme.  A concrete option value pins every lane;
+    "auto" deals the four reference schemes round-robin across lanes."""
+    if option_value == "auto":
+        return DIVE_SCHEMES[lane % len(DIVE_SCHEMES)]
+    return option_value
+
+
+def dive_scores(scheme: str, x: np.ndarray, ints: np.ndarray,
+                frac: np.ndarray, grad_obj: np.ndarray,
+                ncols: np.ndarray, avg_rc: np.ndarray) -> np.ndarray:
+    """Selection score over the integer variables (LOWER = fixed first).
+
+    - frac:   least-fractional first (MINLPDiving getScore_ Fractional)
+    - lex:    lowest index first (LexBound)
+    - veclen: grad_obj * frac / max(1, column nnz) — the variable whose
+      rounding moves the objective least per constraint touched
+      (MINLPDiving.cpp:262-283 vl_score)
+    - rcost:  running-average reduced cost (MINLPDiving.cpp:286-292,
+      avgDual_); most-negative average rc is fixed first, mirroring the
+      reference's Least ordering over the copied dual vector
+    """
+    if scheme == "lex":
+        return np.arange(len(ints), dtype=float)
+    if scheme == "veclen":
+        return grad_obj[ints] * frac / np.maximum(1.0, ncols[ints])
+    if scheme == "rcost":
+        return avg_rc[ints]
+    return frac
+
+
+def dive_round(direction: str, xv: np.ndarray, int_tol: float = 1e-6
+               ) -> np.ndarray:
+    """Round the picked values in a scheme direction (reference
+    MINLPDiving Direction enum: Floor/Ceil/Nearest/Farthest)."""
+    if direction == "ceil":
+        return np.ceil(xv - int_tol)
+    if direction == "floor":
+        return np.floor(xv + int_tol)
+    if direction == "farthest":
+        lo = np.floor(xv)
+        return np.where(xv - lo >= 0.5, lo, lo + 1.0)
+    return np.round(xv)
+
+
+class DiveBacktrack:
+    """Per-lane bound-flip backtracking, depth 2 (reference
+    MINLPDiving::backtrack_ MINLPDiving.cpp:99-137: undo the last fix,
+    push the variable one unit the OTHER way; the dive loop at :369
+    allows a second backtrack one level further up before giving up).
+
+    push() records (pre-fix box, picked vars, fixed values) after each
+    fixing round; on_death() restores the most recent un-flipped level's
+    box and flips its picks — if the most recent level was already
+    flipped, it is discarded and the flip happens one level up."""
+
+    def __init__(self, depth: int = 2):
+        self.depth = depth
+        self.stack = []                  # entries [lo, hi, pick, v, flipped]
+
+    def push(self, lo: np.ndarray, hi: np.ndarray, pick: np.ndarray,
+             v: np.ndarray) -> None:
+        self.stack.append([lo.copy(), hi.copy(), pick, v, False])
+        if len(self.stack) > self.depth:
+            self.stack.pop(0)
+
+    def on_death(self, x_lane: np.ndarray):
+        """Returns (new_lo, new_hi) for the flipped sibling, or None if
+        the flip budget is exhausted (lane dies)."""
+        while self.stack:
+            lo, hi, pick, v, flipped = self.stack.pop()
+            if flipped:
+                continue                 # both children dead: go one up
+            lpv = x_lane[pick]
+            alt = np.where(v <= lpv, v + 1.0, v - 1.0)
+            alt = np.clip(alt, lo[pick], hi[pick])
+            nlo, nhi = lo.copy(), hi.copy()
+            nlo[pick] = alt
+            nhi[pick] = alt
+            self.stack.append([lo, hi, pick, alt, True])
+            return nlo, nhi
+        return None

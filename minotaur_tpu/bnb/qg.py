@@ -601,45 +601,53 @@ class QGBranchAndBound(BranchAndBound):
 
     def _run_dive(self, x_start: np.ndarray, lanes: int = 16,
                   rounds: int = 22) -> None:
-        """Vectorized fractional diving (reference: MINLPDiving.cpp —
-        fractional scheme with backtrack-free lanes).  Each round fixes
-        the least-fractional unfixed integers per lane and re-solves the
+        """Vectorized diving on the master LP (reference: MINLPDiving.cpp
+        — the four Scoretype schemes, MINLPDiving.h:47-53, with the
+        backtrack_ bound flip, MINLPDiving.cpp:99).  Each round fixes
+        the best-scored unfixed integers per lane and re-solves the
         master LP; the fused step's FBBT propagates the fixings through
         linking equality rows, repairing dependent integers for free.
-        Lanes differ by tie-breaking noise."""
-        n_m = self.sp.n
+        Under `divheur_scheme=auto` the lanes deal out the reference's
+        scheme family (frac/veclen/lex/rcost) instead of running the
+        combinations sequentially; `frac` lanes differ by tie-breaking
+        noise."""
+        from .heuristics import (DiveBacktrack, dive_round,
+                                 dive_scheme_for_lane, dive_scores)
         ints = np.where(self.sp.int_mask)[0]
         if len(ints) == 0:
             return
+        scheme_opt = str(self.env.options.get("divheur_scheme"))
+        schemes = [dive_scheme_for_lane(scheme_opt, b) for b in range(lanes)]
+        # veclen/rcost inputs: master objective gradient = c (the master
+        # is an LP), column fan-out over the base rows, running-average
+        # reduced costs per lane (reference avgDual_)
+        c_m = self.sp.c
+        ncols = (self.sp.A != 0).sum(axis=0).astype(float)
+        avg_rc = np.zeros((lanes, self.sp.n))
+        n_rc = 0
         vlb = np.tile(self.sp.vlb, (lanes, 1))
         vub = np.tile(self.sp.vub, (lanes, 1))
         x = np.tile(x_start, (lanes, 1))
         alive = np.ones(lanes, dtype=bool)
-        # one-level backtrack state (reference MINLPDiving backtrack): the
-        # pre-fix box and the picks of the last fix per lane
-        bt: List = [None] * lanes
+        bt = [DiveBacktrack() for _ in range(lanes)]
         for r in range(rounds):
             res = self._run_step(vlb, vub, x)
             status = np.asarray(res.status)
             db = np.asarray(res.dual_bound)
             x = np.asarray(res.x)
+            y = np.asarray(res.y)
             nvlb = np.asarray(res.new_vlb).copy()
             nvub = np.asarray(res.new_vub).copy()
+            if any(s == "rcost" for s in schemes):
+                rc = c_m[None, :] - y @ self.mA
+                avg_rc = (avg_rc * n_rc + rc) / (n_rc + 1)
+                n_rc += 1
             died = alive & ((status == EngineStatus.SOLVED_INFEASIBLE) |
                             (db >= 1e15))
             for b in np.where(died)[0]:
-                if bt[b] is not None:
-                    # restore the pre-fix box and push the last-fixed vars
-                    # the OTHER way
-                    old_lo, old_hi, pick, v = bt[b]
-                    nvlb[b] = old_lo
-                    nvub[b] = old_hi
-                    lpv = x[b, pick]
-                    alt = np.where(v <= lpv, v + 1.0, v - 1.0)
-                    alt = np.clip(alt, old_lo[pick], old_hi[pick])
-                    nvlb[b, pick] = alt
-                    nvub[b, pick] = alt
-                    bt[b] = None
+                flip = bt[b].on_death(x[b])
+                if flip is not None:
+                    nvlb[b], nvub[b] = flip
                     died[b] = False
             alive &= ~died
             vlb, vub = nvlb, nvub
@@ -655,12 +663,19 @@ class QGBranchAndBound(BranchAndBound):
                     continue
                 k = max(1, nu // max(3, rounds - 1 - r))
                 frac = np.abs(x[b, ints] - np.round(x[b, ints]))
-                frac = frac + self._rng.uniform(0, 0.05, size=len(ints)) \
-                    * (b > 0)
-                frac[~unfixed[b]] = np.inf
-                pick = ints[np.argsort(frac)[:k]]
-                v = np.clip(np.round(x[b, pick]), vlb[b, pick], vub[b, pick])
-                bt[b] = (vlb[b].copy(), vub[b].copy(), pick, v)
+                score = dive_scores(schemes[b], x[b], ints, frac, c_m,
+                                    ncols, avg_rc[b])
+                if schemes[b] == "frac":
+                    score = score + self._rng.uniform(
+                        0, 0.05, size=len(ints)) * (b > 0)
+                score = np.where(unfixed[b], score, np.inf)
+                pick = ints[np.argsort(score)[:k]]
+                direction = "nearest" if scheme_opt == "frac" else \
+                    ("nearest", "ceil", "floor", "farthest")[(b // 4) % 4]
+                v = np.clip(dive_round(direction, x[b, pick],
+                                       self._int_tol),
+                            vlb[b, pick], vub[b, pick])
+                bt[b].push(vlb[b], vub[b], pick, v)
                 vlb[b, pick] = v
                 vub[b, pick] = v
             self.stats.solves += lanes
@@ -691,12 +706,22 @@ class QGBranchAndBound(BranchAndBound):
         ints = np.where(sp.int_mask)[0]
         if not len(ints):
             return
+        from .heuristics import (DiveBacktrack, dive_round,
+                                 dive_scheme_for_lane, dive_scores)
+        scheme_opt = str(self.env.options.get("divheur_scheme"))
+        schemes = [dive_scheme_for_lane(scheme_opt, b) for b in range(lanes)]
+        c_t = sp.c
+        ncols_t = (sp.A != 0).sum(axis=0).astype(float)
+        for g in sp.nl_graphs:
+            ncols_t[g.vars_used()] += 1.0
+        avg_rc = np.zeros((lanes, sp.n))
+        n_rc = 0
         vlb = np.tile(sp.vlb, (lanes, 1))
         vub = np.tile(sp.vub, (lanes, 1))
         x = np.tile(x_start[:sp.n], (lanes, 1))
         y = np.zeros((lanes, sp.m))
         alive = np.ones(lanes, dtype=bool)
-        bt: List = [None] * lanes
+        bt = [DiveBacktrack() for _ in range(lanes)]
         for r in range(rounds):
             res = self._true_step(sp.A, sp.clb, sp.cub, vlb, vub, x, y)
             self.stats.solves += lanes
@@ -707,19 +732,16 @@ class QGBranchAndBound(BranchAndBound):
             y = np.array(res.y)
             nvlb = np.array(res.new_vlb)
             nvub = np.array(res.new_vub)
+            if any(s == "rcost" for s in schemes):
+                rc = c_t[None, :] - y @ sp.A
+                avg_rc = (avg_rc * n_rc + rc) / (n_rc + 1)
+                n_rc += 1
             died = alive & ((status == EngineStatus.SOLVED_INFEASIBLE) |
                             (db >= 1e15))
             for b in np.where(died)[0]:
-                if bt[b] is not None:
-                    old_lo, old_hi, pick, v = bt[b]
-                    nvlb[b] = old_lo
-                    nvub[b] = old_hi
-                    lpv = x[b, pick]
-                    alt = np.where(v <= lpv, v + 1.0, v - 1.0)
-                    alt = np.clip(alt, old_lo[pick], old_hi[pick])
-                    nvlb[b, pick] = alt
-                    nvub[b, pick] = alt
-                    bt[b] = None
+                flip = bt[b].on_death(x[b])
+                if flip is not None:
+                    nvlb[b], nvub[b] = flip
                     died[b] = False
             alive &= ~died
             vlb, vub = nvlb, nvub
@@ -736,20 +758,26 @@ class QGBranchAndBound(BranchAndBound):
                     continue
                 k = max(1, nu // max(3, rounds - 1 - r))
                 frac = np.abs(x[b, ints] - np.round(x[b, ints]))
-                frac = frac + self._rng.uniform(0, 0.05, size=len(ints)) \
-                    * (b > 0)
-                frac[~unfixed[b]] = np.inf
-                pick = ints[np.argsort(frac)[:k]]
-                if b % 2:
-                    # ceil-biased lanes: on monotone-decreasing rows
+                score = dive_scores(schemes[b], x[b], ints, frac, c_t,
+                                    ncols_t, avg_rc[b])
+                if schemes[b] == "frac":
+                    score = score + self._rng.uniform(
+                        0, 0.05, size=len(ints)) * (b > 0)
+                score = np.where(unfixed[b], score, np.inf)
+                pick = ints[np.argsort(score)[:k]]
+                if scheme_opt == "frac":
+                    # ceil-biased odd lanes: on monotone-decreasing rows
                     # (tls4's sqrt demand constraints) rounding UP is
                     # the feasible direction — nearest-rounding lanes
                     # die on the demand side
-                    v = np.ceil(x[b, pick] - self._int_tol)
+                    direction = "ceil" if b % 2 else "nearest"
                 else:
-                    v = np.round(x[b, pick])
-                v = np.clip(v, vlb[b, pick], vub[b, pick])
-                bt[b] = (vlb[b].copy(), vub[b].copy(), pick, v)
+                    direction = ("nearest", "ceil", "floor",
+                                 "farthest")[(b // 4) % 4]
+                v = np.clip(dive_round(direction, x[b, pick],
+                                       self._int_tol),
+                            vlb[b, pick], vub[b, pick])
+                bt[b].push(vlb[b], vub[b], pick, v)
                 vlb[b, pick] = v
                 vub[b, pick] = v
         # harvest: fully-fixed alive lanes carry a true-model NLP

@@ -108,6 +108,9 @@ def _create_default_options(db: OptionDB) -> None:
         "nonlinear rows (reference PerspCutHandler)", True)
     # --- heuristics ----------------------------------------------------
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
+    ins("divheur_scheme", str, "dive-lane scoring: frac/veclen/lex/rcost "
+        "or auto (deal all four reference Scoretypes across lanes; "
+        "reference MINLPDiving.h:47-53)", "frac")
     ins("fpump", bool, "feasibility pump heuristic", False)
     ins("msheur", bool, "multistart heuristic", False)
     ins("samplingheur", bool, "random-sampling primal heuristic at root "
