@@ -729,6 +729,22 @@ class BranchAndBound:
                 c = self._pc_down_cnt[j]
                 self._pc_down[j] = (self._pc_down[j] * c + gain) / (c + 1)
                 self._pc_down_cnt[j] = c + 1
+            if self._brancher == "unambrel":
+                # PATH-local pseudocost trail (reference UnambRelBrancher:
+                # the node's own brCands_/pseudoUp_/pseudoDown_ vectors
+                # remove the ambiguity of global averages across distant
+                # tree regions).  Copy-on-write: children share the dict
+                # until one of them observes a new gain.
+                trail = dict(node.pc_trail or {})
+                e = list(trail.get(j, (0.0, 0, 0.0, 0)))
+                if node.branch_dir:
+                    e[2] = (e[2] * e[3] + gain) / (e[3] + 1)
+                    e[3] += 1
+                else:
+                    e[0] = (e[0] * e[1] + gain) / (e[1] + 1)
+                    e[1] += 1
+                trail[j] = tuple(e)
+                node.pc_trail = trail
         if self._is_lp_relax or self._certified_db:
             bound_for_prune = node_bound
         else:
@@ -765,7 +781,8 @@ class BranchAndBound:
                         nid=next_id + side, depth=node.depth + 1,
                         lb=child_bound, vlb=cvlb, vub=cvub, warm_x=x.copy(),
                         warm_y=self._lane_warm_y(), vio_val=node.vio_val,
-                        pred_iters=self._lane_iters_val()))
+                        pred_iters=self._lane_iters_val(),
+                        pc_trail=node.pc_trail))
                 node.status = NodeStatus.BRANCHED
                 self.tm.branch(children, node)
                 return next_id + 2
@@ -850,7 +867,8 @@ class BranchAndBound:
         # branching variable selection: pseudocost product rule when the
         # brancher is 'rel' and costs are observed; otherwise the device's
         # most-fractional candidate (reference MaxVioBrancher)
-        bvar, bval = self._select_branch_var(x, nvlb, nvub, bvar, bval)
+        bvar, bval = self._select_branch_var(x, nvlb, nvub, bvar, bval,
+                                             node=node)
         self._branch_freq[bvar] += 1
         lo = math.floor(bval + self._int_tol)
         if math.isfinite(nvlb[bvar]):
@@ -873,7 +891,8 @@ class BranchAndBound:
                 vlb=cvlb, vub=cvub, warm_x=x.copy(),
                 warm_y=self._lane_warm_y(), branch_var=bvar,
                 branch_dir=side, branch_frac=frac, vio_val=node.vio_val,
-                pred_iters=self._lane_iters_val()))
+                pred_iters=self._lane_iters_val(),
+                pc_trail=node.pc_trail))
         node.status = NodeStatus.BRANCHED
         self.tm.branch(children, node)
         return next_id + 2
@@ -1243,15 +1262,18 @@ class BranchAndBound:
                 self._pc_up_cnt[j] = c + 1
 
     def _select_branch_var(self, x: np.ndarray, nvlb, nvub,
-                           bvar: int, bval: float):
+                           bvar: int, bval: float, node: Optional[Node] = None):
         """Branching-variable selection.  `rel` = pseudocost product rule
         (reference: ReliabilityBrancher score, weighted min/max of up/down
         gains); `lexico` = lowest index (LexicoBrancher); `random` =
         uniform among candidates (RandomBrancher); `maxfreq` = most often
-        branched (MaxFreqBrancher); anything else keeps the device's
-        most-fractional candidate (MaxVioBrancher)."""
+        branched (MaxFreqBrancher); `weak` = reduced-cost bound-change
+        scoring (WeakBrancher); `unambrel` = path-local pseudocost
+        reliability scoring (UnambRelBrancher); anything else keeps the
+        device's most-fractional candidate (MaxVioBrancher)."""
         rule = self._brancher
-        if rule not in ("rel", "strong", "lexico", "random", "maxfreq"):
+        if rule not in ("rel", "strong", "lexico", "random", "maxfreq",
+                        "weak", "unambrel"):
             return bvar, bval
         ints = self.sp.int_mask
         frac = np.where(ints, np.abs(x - np.round(x)), 0.0)
@@ -1268,6 +1290,10 @@ class BranchAndBound:
             best = freq.max()
             tied = cand[freq == best]
             j = tied[int(np.argmax(frac[tied]))]   # tie-break: most frac
+        elif rule == "weak":
+            j = self._weak_select(x, nvlb, nvub, cand, frac)
+        elif rule == "unambrel":
+            j = self._unambrel_select(x, cand, node)
         else:
             avg_up = self._pc_up[self._pc_up_cnt > 0]
             avg_dn = self._pc_down[self._pc_down_cnt > 0]
@@ -1290,6 +1316,92 @@ class BranchAndBound:
                     w * fr2 / max(fr2.max(), 1e-12)
             j = cand[int(np.argmax(score))]
         return int(j), float(x[j])
+
+    def _weak_select(self, x: np.ndarray, nvlb, nvub, cand, frac) -> int:
+        """WeakBrancher scoring (reference WeakBrancher.cpp:59-116,
+        273-350): for each candidate's down/up child, apply the branch
+        bound, propagate it with ONE vectorized linear-FBBT sweep (the
+        analogue of the handlers' getStrongerMods pass), and price the
+        resulting bound changes against the node's reduced costs:
+        obj_change = sum_v max(0, rc_v * dlb_v) [rc_v>0]
+                   + sum_v max(0, rc_v * dub_v) [rc_v<0]
+        Score = 0.8*min(up,down) + 0.2*max (getScore_ :273).  No engine
+        solves — this is the whole point of weak branching.  All 2K child
+        boxes ride one jitted vmapped sweep.  Deviation from the
+        reference: an FBBT-infeasible child scores BIG (the reference
+        zeroes it, but an infeasible child means branching there prunes
+        half the subtree — strictly better information)."""
+        y = getattr(self, "_lane_y", None)
+        if y is None:
+            return int(cand[int(np.argmax(frac[cand]))])
+        sp = self.sp
+        gc = sp.c.copy()
+        if sp.Qobj is not None:
+            gc = gc + 2.0 * (sp.Qobj @ x)
+        rc = gc - np.asarray(y, dtype=np.float64) @ sp.A
+        K = min(2 * max(1, int(self.env.options.get("rel_cands"))),
+                len(cand))
+        top = cand[np.argsort(-frac[cand])[:K]]
+        B = 2 * K
+        lo = np.tile(nvlb, (B, 1))
+        hi = np.tile(nvub, (B, 1))
+        for i, j in enumerate(top):
+            hi[2 * i, j] = math.floor(x[j])        # down child
+            lo[2 * i + 1, j] = math.ceil(x[j])     # up child
+        fb = getattr(self, "_weak_fbbt_fns", None)
+        if fb is None:
+            fb = self._weak_fbbt_fns = {}
+        if B not in fb:
+            import jax
+            from ..ops.interval import linear_fbbt
+            fb[B] = jax.jit(jax.vmap(
+                lambda l, h, A, cl, cu: linear_fbbt(A, cl, cu, l, h),
+                in_axes=(0, 0, None, None, None)))
+        nlo, nhi, infeas = fb[B](lo, hi, sp.A, sp.clb, sp.cub)
+        nlo = np.asarray(nlo)
+        nhi = np.asarray(nhi)
+        infeas = np.asarray(infeas)
+        pos = rc > 1e-7
+        neg = rc < -1e-7
+        dlb = np.where(np.isfinite(nlo) & np.isfinite(lo), nlo - lo, 0.0)
+        dub = np.where(np.isfinite(nhi) & np.isfinite(hi), nhi - hi, 0.0)
+        chg = np.maximum(rc[None, :] * dlb, 0.0) * pos[None, :] + \
+            np.maximum(rc[None, :] * dub, 0.0) * neg[None, :]
+        change = chg.sum(axis=1)
+        change = np.where(infeas, 1e12, change)
+        dn, up = change[0::2], change[1::2]
+        score = 0.8 * np.minimum(dn, up) + 0.2 * np.maximum(dn, up)
+        return int(top[int(np.argmax(score))])
+
+    def _unambrel_select(self, x: np.ndarray, cand,
+                         node: Optional[Node]) -> int:
+        """Unambiguous reliability scoring (reference UnambRelBrancher
+        .cpp:83-166, 330-360, 441-470): pseudocosts are read from the
+        NODE'S OWN ancestry trail (Node.h:168-259 per-node
+        brCands_/pseudoUp_/pseudoDown_), not the global arrays, removing
+        cross-region ambiguity.  Candidates with observed up AND down
+        gains on the path score 0.8*min+0.2*max of dist*pc; candidates
+        seen only partially score times_branched - 1e-5*(pcUp+pcDown)
+        - 1e-6*max(dd,ud) (:344-347); unseen candidates score
+        -1e-6*max(dd,ud) (:355)."""
+        trail = getattr(node, "pc_trail", None) if node is not None else None
+        best_j, best_s = int(cand[0]), -_INF
+        for j in cand:
+            f = x[j] - math.floor(x[j])
+            dd, ud = f, 1.0 - f
+            e = trail.get(int(j)) if trail else None
+            if e is not None and e[1] >= 1 and e[3] >= 1:
+                ch_dn = dd * e[0]
+                ch_up = ud * e[2]
+                s = 0.8 * min(ch_dn, ch_up) + 0.2 * max(ch_dn, ch_up)
+            elif e is not None:
+                s = (e[1] + e[3]) - 1e-5 * (e[0] + e[2]) \
+                    - 1e-6 * max(dd, ud)
+            else:
+                s = -1e-6 * max(dd, ud)
+            if s > best_s:
+                best_s, best_j = s, int(j)
+        return best_j
 
 
 def solve_file(path: str, env: Optional[Environment] = None,

@@ -43,6 +43,14 @@ class Node:
     #                                 slowest lane)
     vio_val: float = float("inf")   # parent's nl-violation score (QG ECP
     #                                 gating; reference Node::setVioVal)
+    pc_trail: Optional[dict] = None  # PATH-local pseudocosts for the
+    #                                 unambiguous reliability brancher
+    #                                 (reference: the fork's per-node
+    #                                 brCands_/pseudoUp_/pseudoDown_
+    #                                 vectors, Node.h:168-259): var ->
+    #                                 [pc_down, n_down, pc_up, n_up]
+    #                                 observed along this node's ancestry;
+    #                                 shared with children copy-on-write
 
     def __lt__(self, other: "Node") -> bool:  # heap ordering fallback
         return self.lb < other.lb

@@ -50,7 +50,7 @@ def _create_default_options(db: OptionDB) -> None:
     # --- tree search ---------------------------------------------------
     ins("tree_search", str, "node selection: dfs/bfs/BthenD", "BthenD")
     ins("brancher", str, "branching rule: maxvio/rel/strong/lexico/random/"
-        "maxfreq", "rel")
+        "maxfreq/weak/unambrel", "rel")
     ins("sol_pool_size", int, "capacity of the best-k solution pool", 10)
     ins("br_frac_weight", float, "weight for fractionality in branching score", 0.167)
     ins("strbr_lane_limit", int, "max strong-branch probe lanes drained from the queue per superstep", 20)
