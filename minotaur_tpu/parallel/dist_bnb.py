@@ -183,12 +183,18 @@ class DistBranchAndBound(BranchAndBound):
 
     def _rebalance(self) -> None:
         """Global sort + round-robin deal (reference LoadBalance_,
-        MpiBranchAndBound.cpp:78-195)."""
+        MpiBranchAndBound.cpp:78-195).  Each partition contributes only
+        its `lb_pop_cap * P` BEST nodes (reference pops <= 50*world_size
+        per rank, :93-107) — draining whole pools made every balance
+        round O(total open nodes) of host churn at 10^5-node scale; the
+        tail of each pool stays put and keeps its owner."""
         sizes_before = [len(p) for p in self.pools]
+        cap = int(self.env.options.get("lb_pop_cap")) * self.n_parts
         nodes: List[Node] = []
         owner: List[int] = []
         for k, pool in enumerate(self.pools):
-            popped = pool.pop_best_nodes(len(pool))
+            take = len(pool) if cap <= 0 else min(len(pool), cap)
+            popped = pool.pop_best_nodes(take)
             nodes.extend(popped)
             owner.extend([k] * len(popped))
         if not nodes:

@@ -140,6 +140,11 @@ def _create_default_options(db: OptionDB) -> None:
     ins("mesh_hosts", int, "hosts in the device mesh (node-pool partitions)", 1)
     ins("lb_frequency", int, "supersteps between cross-host load balances "
         "(reference MpiBranchAndBound lb_frequency)", 8)
+    ins("lb_pop_cap", int, "per-partition cap on nodes popped into a "
+        "load-balance round, scaled by the partition count: each "
+        "partition contributes <= cap*P best nodes (reference pops "
+        "<= 50*world_size per rank, MpiBranchAndBound.cpp:93-107); "
+        "0 drains whole pools", 50)
     ins("threads", int, "kept for reference CLI parity; maps to node_batch", 0)
     ins("checkpoint_file", str, "periodically checkpoint the search state here", "")
     ins("checkpoint_interval", float, "seconds between checkpoints", 300.0)

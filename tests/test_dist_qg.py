@@ -100,3 +100,45 @@ def test_mqgdist_cli():
                "--mesh_hosts", "8", "--node_batch", "16",
                "--log_level", "1"])
     assert rc == 0
+
+
+def test_rebalance_is_bounded_at_scale():
+    """A load-balance round pops at most lb_pop_cap*P best nodes per
+    partition (reference: <=50*world_size per rank,
+    MpiBranchAndBound.cpp:93-107) — with 10^4 open nodes the round must
+    move O(P*cap) nodes and finish fast, not drain whole pools."""
+    import time
+
+    from minotaur_tpu.bnb.node import Node
+    from minotaur_tpu.io.nl_reader import read_nl as _read
+
+    p = _read(os.path.join(REF_INSTANCES, "milp.nl"))
+    env = _env(lb_pop_cap=50)
+    from minotaur_tpu.parallel.dist_bnb import DistBranchAndBound
+    bab = DistBranchAndBound(p, _mesh(), env=env)
+    P = bab.n_parts
+    # stuff the pools: lopsided 10^4 open nodes
+    n_total = 10_000
+    rng = np.random.default_rng(0)
+    counts = [n_total // 2] + [n_total // (2 * (P - 1))] * (P - 1)
+    nid = 1
+    for k, cnt in enumerate(counts):
+        for _ in range(cnt):
+            bab.pools[k].insert_candidate(Node(
+                nid=nid, depth=1, lb=float(rng.uniform(0, 100)),
+                vlb=bab.sp.vlb.copy(), vub=bab.sp.vub.copy()))
+            nid += 1
+    sizes0 = [len(pool) for pool in bab.pools]
+    t0 = time.monotonic()
+    bab._rebalance()
+    dt = time.monotonic() - t0
+    sizes1 = [len(pool) for pool in bab.pools]
+    assert sum(sizes1) == sum(sizes0)            # nothing lost
+    cap = 50 * P
+    # no partition can have grown by more than the whole dealt set, and
+    # no partition lost more than its cap
+    for before, after in zip(sizes0, sizes1):
+        assert before - after <= cap
+        assert after - before <= cap * P
+    assert bab.stats.nodes_migrated <= cap * P
+    assert dt < 2.0, f"rebalance took {dt:.2f}s for 10^4 open nodes"
