@@ -147,9 +147,14 @@ class _MasterMILP(BranchAndBound):
         # each master gets a SLICE of the budget, not all of it (the
         # round-2 driver let major iteration 1 consume the whole time
         # limit on tls4); the reference caps its master MILP the same
-        # way (OA.cpp engine limits)
-        self._time_limit = max(30.0, oa._time_limit / 5.0)
-        self._node_limit = min(self._node_limit, 4096)
+        # way (OA.cpp engine limits).  Budget knobs are options, not
+        # constants — they decide whether OA terminates usefully.
+        opts = oa.env.options
+        self._time_limit = max(float(opts.get("oa_master_time_floor")),
+                               oa._time_limit *
+                               float(opts.get("oa_master_time_frac")))
+        self._node_limit = min(self._node_limit,
+                               int(opts.get("oa_master_node_limit")))
 
     def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
         import numpy as np

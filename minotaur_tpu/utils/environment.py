@@ -119,6 +119,13 @@ def _create_default_options(db: OptionDB) -> None:
         "root (reference FixVarsHeur), batched", False)
     ins("qpdheur", bool, "population QP-diving heuristic at root "
         "(reference QPDProcessor, as a primal heuristic)", False)
+    ins("oa_master_time_frac", float, "fraction of the total time limit "
+        "each OA master MILP may consume (reference: per-engine limits "
+        "in OA.cpp)", 0.2)
+    ins("oa_master_time_floor", float, "minimum seconds granted to each "
+        "OA master MILP regardless of the fraction", 30.0)
+    ins("oa_master_node_limit", int, "node cap per OA master MILP solve",
+        4096)
     ins("nodeproc", str, "node processor: pcb (true-relaxation supersteps) "
         "or qpd (QP-approximation supersteps with true-model verification "
         "of every prune/incumbent decision; reference QPDProcessor)", "pcb")
