@@ -1071,6 +1071,14 @@ class BranchAndBound:
         self._try_round_incumbent(x, nvlb, nvub)
         opts = self.env.options
         seed = int(opts.get("rand_seed"))
+        if opts.get("trimloss_heur") and self.ub >= _INF:
+            from .trimloss import construct_trimloss
+            try:
+                r = construct_trimloss(self.problem)
+            except Exception:
+                r = None
+            if r is not None:
+                self._accept_incumbent(r[0], r[1])
         if opts.get("divheur"):
             self._root_dive(x, nvlb, nvub)
         if opts.get("msheur"):

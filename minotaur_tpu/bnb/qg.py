@@ -458,6 +458,23 @@ class QGBranchAndBound(BranchAndBound):
         """Root continuous NLP + initial linearization (initLinear_).
         Returns a terminal status or None to continue into the tree."""
         sp = self.sp_orig
+        if self.env.options.get("trimloss_heur"):
+            # constructive heuristic for square-encoded trimloss models
+            # (bnb/trimloss.py): detection no-ops on other structures;
+            # on tls* it seeds the exact cutting-stock optimum as the
+            # incumbent, which plain QG only reaches by deep descent
+            # (QGHandler.cpp:205/:627 path)
+            from .trimloss import construct_trimloss
+            try:
+                r = construct_trimloss(self.problem)
+            except Exception as e:   # detection must never kill a solve
+                self._log.debug(f"trimloss heuristic failed: {e}")
+                r = None
+            if r is not None:
+                xh, objh = r
+                self._log.info(
+                    f"trimloss construction: verified incumbent {objh:.8g}")
+                self._accept_incumbent(xh, objh)
         res = self._nlp_solve(sp.A, sp.clb, sp.cub,
                               sp.vlb[None, :], sp.vub[None, :])
         self.qg_stats.nlp_solves += 1

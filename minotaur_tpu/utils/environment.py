@@ -108,6 +108,9 @@ def _create_default_options(db: OptionDB) -> None:
         "nonlinear rows (reference PerspCutHandler)", True)
     # --- heuristics ----------------------------------------------------
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
+    ins("trimloss_heur", bool, "constructive heuristic for square-encoded "
+        "trimloss structures (pattern enumeration + exact DP; "
+        "bnb/trimloss.py); no-op when the structure is absent", True)
     ins("divheur_scheme", str, "dive-lane scoring: frac/veclen/lex/rcost "
         "or auto (deal all four reference Scoretypes across lanes; "
         "reference MINLPDiving.h:47-53)", "frac")
