@@ -76,3 +76,42 @@ def convex_miqp(n_cont: int = 4, n_int: int = 4, seed: int = 0) -> Problem:
         lf.add_term(j, -2.0 * a[j])
     p.new_objective(Function(lf=lf, qf=qf), const=float(a @ a))
     return p
+
+
+def correlated_knapsack(n: int = 30, seed: int = 1, frac: float = 0.5
+                        ) -> Problem:
+    """0/1 knapsack with value~weight correlation — correlated instances
+    are the classically hard family, giving a few-hundred-node B&B tree
+    at n=30-40 (used by the multi-chip/multi-process dryruns, which need
+    a tree big enough to trigger load balancing; the shipped reference
+    instances' trees are 1-7 nodes).  The exact optimum is checked
+    against `knapsack_dp_optimum`."""
+    rng = np.random.default_rng(seed)
+    w = rng.integers(20, 70, size=n).astype(float)
+    v = w + rng.uniform(-4, 8, size=n)
+    cap = float(np.floor(w.sum() * frac))
+    p = Problem(f"cknap{n}")
+    for j in range(n):
+        p.new_variable(0, 1, VarType.BINARY, f"x{j}")
+    p.new_constraint(
+        Function(lf=LinearFunction({j: float(w[j]) for j in range(n)})),
+        -np.inf, cap, "cap")
+    p.new_objective(Function(lf=LinearFunction(
+        {j: -float(v[j]) for j in range(n)})))
+    return p
+
+
+def knapsack_dp_optimum(n: int = 30, seed: int = 1, frac: float = 0.5
+                        ) -> float:
+    """Exact optimum of `correlated_knapsack` by dynamic programming
+    over the integer weights (independent ground truth for dryruns)."""
+    rng = np.random.default_rng(seed)
+    w = rng.integers(20, 70, size=n)
+    v = w + rng.uniform(-4, 8, size=n)
+    cap = int(np.floor(float(w.sum()) * frac))
+    best = np.zeros(cap + 1)
+    for wi, vi in zip(w, v):
+        nb = best.copy()
+        nb[wi:] = np.maximum(nb[wi:], best[:-wi] + vi)
+        best = nb
+    return -float(best.max())

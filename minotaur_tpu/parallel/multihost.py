@@ -1,0 +1,483 @@
+"""Multi-controller (multi-process) branch-and-bound.
+
+Reference: MpiBranchAndBound.{h,cpp} + QGMpiMain.cpp — P *processes*
+each run the node loop on a process-local pool; MPI carries (a) async
+incumbent gossip (tag 1), (b) periodic global load balancing
+(Allgather + sort + round-robin deal, LoadBalance_ :78-195), (c)
+distributed termination (the balance round doubles as the barrier:
+all-pools-empty => done, :137-140), and (d) final reductions
+(Allreduce MIN of ub, Gather of stats, :388-449).
+
+TPU-native architecture (mirrors the reference split exactly):
+
+  - COMPUTE IS PROCESS-LOCAL.  Each controller process drives the
+    batched superstep on its OWN device slice (one chip, or an
+    ICI-connected mesh via the in-process DistQGBranchAndBound pool
+    sharding).  No cross-process device collective is ever issued, so
+    nothing here depends on multi-host XLA — exactly like the
+    reference, where engine solves are rank-local and only host state
+    crosses rank boundaries.
+  - COORDINATION IS HOST-SIDE.  `HostComm.allgather` is the single
+    collective the driver needs (ub/incumbent fusion, node migration,
+    termination, stats), the direct analogue of the reference's
+    Allgather+deal.  `TcpHostComm` implements it over TCP sockets
+    (rank 0 is the hub), which works on any multi-host fleet (DCN);
+    on a JAX pod the same sockets ride the inter-host network.
+  - On a real multi-host TPU deployment call
+    `maybe_init_jax_distributed()` first so each process binds its
+    local chips; the driver is unchanged (BASELINE configs[4] v5e-16 =
+    4 hosts x 4 chips: 4 controller processes, each mesh-sharding over
+    4 local chips).
+
+Determinism: the load-balance deal is a pure function of the gathered
+payloads (stable sort by (lb, src_rank, src_pos), round-robin by global
+position), so every process computes the same global decision from the
+same gathered state — no process-0 special-casing in the steady state,
+matching replica-deterministic SPMD style.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import socket
+import struct
+import time
+from typing import Any, List, Optional
+
+import numpy as np
+
+from ..bnb.node import Node
+from ..bnb.qg import QGBranchAndBound
+from ..ir.problem import Problem
+from ..utils.environment import Environment
+from ..utils.types import SolveStatus
+
+_INF = float("inf")
+
+
+# ------------------------------------------------------------------ comm
+
+class HostComm:
+    """Host-side collective interface: the one primitive the driver
+    needs (reference uses Allgather + point-to-point; an allgather of
+    the same payloads subsumes both)."""
+
+    rank: int = 0
+    world: int = 1
+
+    def allgather(self, payload: Any) -> List[Any]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class NullComm(HostComm):
+    """Single-process fallback."""
+
+    def allgather(self, payload: Any) -> List[Any]:
+        return [payload]
+
+
+def _send_msg(sock: socket.socket, obj: Any) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(struct.pack("<Q", len(data)) + data)
+
+
+def _recv_msg(sock: socket.socket) -> Any:
+    hdr = b""
+    while len(hdr) < 8:
+        chunk = sock.recv(8 - len(hdr))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        hdr += chunk
+    (n,) = struct.unpack("<Q", hdr)
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(1 << 20, n - len(buf)))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return pickle.loads(bytes(buf))
+
+
+class TcpHostComm(HostComm):
+    """Star-topology allgather over TCP: rank 0 accepts world-1
+    persistent connections, gathers every payload, broadcasts the full
+    list.  ~3 network hops per collective — the balance cadence is
+    every `lb_frequency` supersteps, so this is far off the hot path
+    (the reference pays an MPI_Allgather at the same cadence)."""
+
+    def __init__(self, rank: int, world: int, coordinator: str,
+                 timeout: float = 120.0):
+        self.rank = rank
+        self.world = world
+        host, port = coordinator.rsplit(":", 1)
+        port = int(port)
+        self._peers: List[socket.socket] = []
+        self._sock: Optional[socket.socket] = None
+        if world == 1:
+            return
+        if rank == 0:
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind((host, port))
+            srv.listen(world)
+            srv.settimeout(timeout)
+            conns = {}
+            for _ in range(world - 1):
+                c, _addr = srv.accept()
+                c.settimeout(None)        # collectives block indefinitely;
+                #                           the spawner owns the watchdog
+                c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                r = _recv_msg(c)          # peer announces its rank
+                conns[r] = c
+            srv.close()
+            self._peers = [conns[r] for r in range(1, world)]
+        else:
+            deadline = time.monotonic() + timeout
+            last = None
+            while time.monotonic() < deadline:
+                try:
+                    s = socket.create_connection((host, port), timeout=5.0)
+                    break
+                except OSError as e:      # coordinator not up yet
+                    last = e
+                    time.sleep(0.1)
+            else:
+                raise ConnectionError(f"coordinator unreachable: {last}")
+            s.settimeout(None)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            _send_msg(s, rank)
+            self._sock = s
+
+    def allgather(self, payload: Any) -> List[Any]:
+        if self.world == 1:
+            return [payload]
+        if self.rank == 0:
+            out = [None] * self.world
+            out[0] = payload
+            for i, c in enumerate(self._peers, start=1):
+                out[i] = _recv_msg(c)
+            for c in self._peers:
+                _send_msg(c, out)
+            return out
+        _send_msg(self._sock, payload)
+        return _recv_msg(self._sock)
+
+    def close(self) -> None:
+        for c in self._peers:
+            try:
+                c.close()
+            except OSError:
+                pass
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+
+def maybe_init_jax_distributed(coordinator: Optional[str] = None,
+                               num_processes: Optional[int] = None,
+                               process_id: Optional[int] = None) -> bool:
+    """Production multi-host binding: initialize jax.distributed so each
+    controller process owns its local TPU chips (reference analogue:
+    MPI_Init, QGMpiMain.cpp:21).  Safe no-op when the coordination
+    service is absent (single-host dev boxes, CPU test meshes)."""
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------- driver
+
+@dataclasses.dataclass
+class _SyncStats:
+    rounds: int = 0
+    nodes_migrated: int = 0
+    nodes_out: int = 0
+    nodes_in: int = 0
+
+
+class MpiQGBranchAndBound(QGBranchAndBound):
+    """Per-process driver: the standard batched QG node loop on a
+    process-local pool, with a HostComm balance round every
+    `lb_frequency` batches (reference MpiBranchAndBound::solve
+    :210-449).  Every process constructs the identical root (the
+    instance file is read by all ranks, like the reference's byte
+    broadcast + per-rank parse, QGMpiMain.cpp:85-106); rank 0 seeds the
+    root node and the first balance round deals the frontier out."""
+
+    def __init__(self, problem: Problem, comm: HostComm,
+                 env: Optional[Environment] = None):
+        super().__init__(problem, env=env)
+        self.comm = comm
+        self.sync_stats = _SyncStats()
+        self._lb_freq = max(1, int(self.env.options.get("lb_frequency")))
+        self._pop_cap = max(1, int(self.env.options.get("lb_pop_cap"))) \
+            * max(1, comm.world)
+
+    # -- one balance round: gossip + load balance + stop/termination ----
+    def _sync(self, t0: float):
+        """One collective round.  Returns a terminal SolveStatus when
+        the GLOBAL search must end, else None.  ALL stop decisions
+        (limits, gap, exhaustion) are computed from the GATHERED state
+        so every rank reaches the identical verdict in the identical
+        round — a rank deciding locally and leaving early would wedge
+        its peers' next collective (the reference OR-reduces status
+        flags inside LoadBalance_ for the same reason,
+        MpiBranchAndBound.cpp:84-91)."""
+        # contribute my best nodes to the global deal (bounded,
+        # reference pops <=50*P per rank, MpiBranchAndBound.cpp:93-107)
+        mine = self.tm.pop_batch(min(len(self.tm), self._pop_cap)) \
+            if len(self.tm) else []
+        # nodes ship as plain arrays (a node IS its bound box — the
+        # reference needs Serializer.cpp for this; dense nodes don't)
+        packed = [(nd.lb, nd.depth, nd.vlb, nd.vub, nd.warm_x, nd.warm_y,
+                   nd.branch_var, nd.branch_dir, nd.branch_frac)
+                  for nd in mine]
+        payload = dict(rank=self.comm.rank, ub=self.ub,
+                       best=(self.best_x if np.isfinite(self.ub) else None),
+                       nodes=packed,
+                       unresolved_lb=self.unresolved_lb,
+                       pool_lb=(self.tm.best_lb() if len(self.tm) else _INF),
+                       processed=self.stats.nodes_processed,
+                       elapsed=time.monotonic() - t0)
+        gathered = self.comm.allgather(payload)
+        self.sync_stats.rounds += 1
+        self.sync_stats.nodes_out += len(packed)
+
+        # (a) incumbent fusion (tag-1 gossip analogue): adopt the global
+        # best, re-verified locally before acceptance (cheap, and keeps
+        # soundness independent of peer state)
+        for g in gathered:
+            if g["best"] is not None and g["ub"] < self.ub - 1e-12:
+                xb = np.asarray(g["best"])
+                if self.problem.is_feasible(xb, atol=1e-5,
+                                            int_tol=self._int_tol):
+                    self._accept_incumbent(
+                        xb, float(self.problem.eval_objective(xb)))
+        cutoff = self._cutoff()
+
+        # (b) deterministic global deal: identical on every rank
+        allnodes = []
+        for g in sorted(gathered, key=lambda d: d["rank"]):
+            for pos, nd in enumerate(g["nodes"]):
+                allnodes.append((nd[0], g["rank"], pos, nd))
+        allnodes.sort(key=lambda t: (t[0], t[1], t[2]))
+        kept = 0
+        for gi, (lb, src, pos, nd) in enumerate(allnodes):
+            dest = gi % self.comm.world
+            if lb >= cutoff:
+                continue                      # pruned under the fused ub
+            if dest != self.comm.rank:
+                continue
+            (lb, depth, vlb, vub, wx, wy, bv, bd, bf) = nd
+            self.tm.insert_candidate(Node(
+                nid=self._next_recv_id(), depth=depth, lb=lb,
+                vlb=np.asarray(vlb), vub=np.asarray(vub),
+                warm_x=(None if wx is None else np.asarray(wx)),
+                warm_y=(None if wy is None else np.asarray(wy)),
+                branch_var=bv, branch_dir=bd, branch_frac=bf))
+            kept += 1
+            if src != self.comm.rank:
+                self.sync_stats.nodes_in += 1
+                self.sync_stats.nodes_migrated += 1
+        self.stats.rebalances += 1
+        self.stats.nodes_migrated = self.sync_stats.nodes_migrated
+
+        # (c) global bound + stop verdicts — pure function of `gathered`
+        glb = min(min(g["pool_lb"] for g in gathered),
+                  min(g["unresolved_lb"] for g in gathered),
+                  min((t[0] for t in allnodes), default=_INF))
+        self.lb = min(glb, self.ub)
+        total = sum(g["processed"] for g in gathered)
+        t_max = max(g["elapsed"] for g in gathered)
+        any_nodes = any(len(g["nodes"]) for g in gathered) or \
+            any(np.isfinite(g["pool_lb"]) for g in gathered)
+        ref = max(abs(self.ub), 1.0)
+        if self.ub < _INF and self.lb >= self.ub - max(
+                self._abs_tol, self._rel_tol * ref):
+            return SolveStatus.SOLVED_OPTIMAL
+        if not any_nodes and len(self.tm) == 0:
+            # exhausted (MpiBranchAndBound.cpp:137-140 all-lb-infinite)
+            if min(g["unresolved_lb"] for g in gathered) < self._cutoff():
+                return SolveStatus.SOLVED_GAP_LIMIT if self.ub < _INF \
+                    else SolveStatus.FINISHED
+            return SolveStatus.SOLVED_OPTIMAL if self.ub < _INF \
+                else SolveStatus.SOLVED_INFEASIBLE
+        if total >= self._node_limit:
+            return SolveStatus.SOLVED_NODE_LIMIT
+        if t_max > self._time_limit:
+            return SolveStatus.SOLVED_TIME_LIMIT
+        return None
+
+    def _next_recv_id(self) -> int:
+        # rank-disjoint ids for received nodes (tie-breaks stay stable)
+        self._recv_ctr = getattr(self, "_recv_ctr", 0) + 1
+        return (1 << 40) + self._recv_ctr * self.comm.world + self.comm.rank
+
+    def solve(self) -> SolveStatus:
+        t0 = time.monotonic()
+        opts = self.env.options
+        # every rank builds the identical root linearization
+        # (deterministic); terminal root statuses are globally agreed
+        st = self._qg_root()
+        if st is not None:
+            self.comm.allgather(dict(rank=self.comm.rank, ub=self.ub,
+                                     best=None, nodes=[],
+                                     unresolved_lb=self.unresolved_lb,
+                                     pool_lb=_INF,
+                                     processed=0, elapsed=0.0))
+            return st
+        self.status = SolveStatus.STARTED
+        self._inflight_nodes = []
+        self._strong_branch_done = True   # root strong-branch init is a
+        #                                   single-controller feature
+        if self.comm.rank == 0:
+            root = Node(nid=0, depth=0,
+                        lb=getattr(self, "_root_lb0", -_INF),
+                        vlb=self.sp.vlb.copy(), vub=self.sp.vub.copy())
+            self.tm.insert_root(root)
+        next_id = 1
+        while True:
+            # local epoch: up to lb_frequency batched supersteps
+            for _ in range(self._lb_freq):
+                if not len(self.tm):
+                    break
+                self.tm.set_cutoff(self._cutoff())
+                prep = self._prepare_batch()
+                if prep is None:
+                    break
+                batch, probes, arrays = prep
+                handle = self._dispatch_step(*arrays)
+                next_id = self._finish_batch(
+                    (batch, probes, handle, time.monotonic()), next_id)
+            verdict = self._sync(t0)
+            if verdict is not None:
+                self.status = verdict
+                break
+
+        # final reduction (reference: Allreduce MIN ub + stats gather,
+        # MpiBranchAndBound.cpp:388-449)
+        local_lb = min(self.tm.best_lb() if len(self.tm) else _INF,
+                       self.unresolved_lb, self.ub)
+        fin = self.comm.allgather(dict(
+            rank=self.comm.rank, ub=self.ub,
+            best=(self.best_x if np.isfinite(self.ub) else None),
+            lb=local_lb, processed=self.stats.nodes_processed,
+            migrated=self.sync_stats.nodes_migrated,
+            rounds=self.sync_stats.rounds, nodes=[]))
+        for g in fin:
+            if g["best"] is not None and g["ub"] < self.ub - 1e-12:
+                xb = np.asarray(g["best"])
+                if self.problem.is_feasible(xb, atol=1e-5,
+                                            int_tol=self._int_tol):
+                    self._accept_incumbent(
+                        xb, float(self.problem.eval_objective(xb)))
+        self.lb = min(min(g["lb"] for g in fin), self.ub)
+        self.global_processed = sum(g["processed"] for g in fin)
+        self.per_rank_processed = [g["processed"] for g in
+                                   sorted(fin, key=lambda d: d["rank"])]
+        if self.status == SolveStatus.STARTED:
+            ref = max(abs(self.ub), 1.0)
+            if self.ub < _INF and self.lb >= self.ub - max(
+                    self._abs_tol, self._rel_tol * ref):
+                self.status = SolveStatus.SOLVED_OPTIMAL
+                self.lb = self.ub
+            elif self.ub < _INF:
+                self.status = SolveStatus.SOLVED_GAP_LIMIT
+            else:
+                self.status = SolveStatus.SOLVED_INFEASIBLE \
+                    if self.lb >= 1e15 else SolveStatus.FINISHED
+        self.stats.time = time.monotonic() - t0
+        self._log.info(
+            f"rank {self.comm.rank}: processed "
+            f"{self.stats.nodes_processed} of {self.global_processed} "
+            f"global, balance rounds {self.sync_stats.rounds}, "
+            f"migrated in {self.sync_stats.nodes_in}")
+        return self.status
+
+
+def run_rank(path: str, rank: int, world: int, coordinator: str,
+             options: Optional[dict] = None):
+    """One controller process: parse, build, solve, report (the body of
+    the reference's QGMpiMain.cpp)."""
+    from ..io.nl_reader import read_nl
+    env = Environment()
+    for k, v in (options or {}).items():
+        env.set_option(k, v)
+    comm = TcpHostComm(rank, world, coordinator) if world > 1 else NullComm()
+    try:
+        p = read_nl(path)
+        bab = MpiQGBranchAndBound(p, comm, env=env)
+        st = bab.solve()
+        return dict(rank=rank, status=st.name, ub=bab.ub, lb=bab.lb,
+                    processed=bab.stats.nodes_processed,
+                    global_processed=getattr(bab, "global_processed", 0),
+                    per_rank=getattr(bab, "per_rank_processed", []),
+                    migrated_in=bab.sync_stats.nodes_in,
+                    rounds=bab.sync_stats.rounds)
+    finally:
+        comm.close()
+
+
+def spawn_local(path: str, world: int, options: Optional[dict] = None,
+                port: Optional[int] = None, timeout: float = 900.0):
+    """Launch `world` controller processes on this machine (the mpirun
+    analogue for tests and single-host multi-process runs).  Returns the
+    per-rank result dicts."""
+    import subprocess
+    import sys
+    import tempfile
+    if port is None:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    coordinator = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    outs = []
+    procs = []
+    for r in range(world):
+        fo = tempfile.NamedTemporaryFile("w+", suffix=f".rank{r}.json",
+                                         delete=False)
+        outs.append(fo.name)
+        fo.close()
+        code = (
+            "import sys, json, os\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from minotaur_tpu.parallel.multihost import run_rank\n"
+            f"res = run_rank({path!r}, {r}, {world}, {coordinator!r}, "
+            f"{options!r})\n"
+            f"json.dump(res, open({outs[-1]!r}, 'w'))\n")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    deadline = time.monotonic() + timeout
+    for pr in procs:
+        left = max(1.0, deadline - time.monotonic())
+        try:
+            pr.wait(timeout=left)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            raise
+    import json
+    results = []
+    for fn in outs:
+        with open(fn) as f:
+            results.append(json.load(f))
+        os.unlink(fn)
+    return results
