@@ -1,0 +1,208 @@
+"""Solve-to-gap sweep on real hardware (VERDICT r3 next-step #1).
+
+Mirrors the reference's benchmark harness (scripts/minlp-test.py:36-60:
+run the solver over an instance list with a time limit, verify against a
+solutions table).  Instances: the two shipped reference .nl files that
+close (nvs08) or stress (tls4, color_lab2_4x0) the pipeline, plus the
+11 convex-family analogues from models/convex_suite.py — each with an
+INDEPENDENT exact optimum (brute force / DP / pattern enumeration) that
+the solved ub is verified against.
+
+    python scripts/tpu_sweep.py                      # real TPU (default)
+    python scripts/tpu_sweep.py --platform cpu       # rehearsal
+    python scripts/tpu_sweep.py --only nvs08,gbd_a   # subset
+
+Outputs: SWEEP CSV (one row per instance) + a markdown table written to
+--out / --md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF = "/root/reference/test_instances"
+
+# per-instance plan: (kind, source, solver, node_limit, time_cap,
+#                     known/exact optimum or None, note)
+PLAN = [
+    ("ref", f"{REF}/nvs08.nl", "mbnb", 4000, 420.0, 23.449673,
+     "shipped; MINLPLib optimum"),
+    ("suite", "ball_mk_10a", "mbnb", 4000, 420.0, None, "ball_mk2_10"),
+    ("suite", "ball_mk_16a", "mbnb", 8000, 420.0, None, "ball_mk3_20"),
+    ("suite", "normcon_20a", "mbnb", 8000, 420.0, None,
+     "cvxnonsep_normcon20"),
+    ("suite", "expbudget_8a", "mbnb", 4000, 420.0, None,
+     "cvxnonsep_psig20"),
+    ("suite", "duopt_8a", "mbnb", 4000, 420.0, None, "du-opt5"),
+    ("suite", "meanvar_8a", "mbnb", 4000, 420.0, None, "meanvarx"),
+    ("suite", "facloc_4x8a", "mbnb", 4000, 420.0, None, "fac3"),
+    ("suite", "gbd_a", "mbnb", 4000, 420.0, None, "gbd"),
+    ("suite", "ex1223_a", "mbnb", 4000, 420.0, None, "ex1223a"),
+    ("suite", "batchdes_a", "mbnb", 4000, 420.0, None, "batchdes"),
+    ("suite", "cknap_30a", "mbnb", 4000, 420.0, None, "correlated knap"),
+    ("ref", f"{REF}/tls4.nl", "mqg", 2000, 600.0, 8.3,
+     "shipped; optimum 8.3 (trimloss construction); lb climb capped"),
+    ("ref", f"{REF}/color_lab2_4x0.nl", "mbnb", 32768, 600.0, None,
+     "shipped; 300-binary MIQP; no published optimum — gap reported"),
+]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_one(kind, src, solver, node_limit, time_cap, batch, pad_full):
+    from minotaur_tpu.io.nl_reader import read_nl
+    from minotaur_tpu.utils.environment import Environment
+
+    if kind == "suite":
+        from minotaur_tpu.models.convex_suite import SUITE
+        gen, opt, fam = SUITE[src]
+        p = gen()
+        exact = opt()
+    else:
+        p = read_nl(src)
+        exact = None
+
+    env = Environment()
+    env.set_option("log_level", 0)
+    env.set_option("node_batch", batch)
+    env.set_option("pad_full", int(pad_full))
+    env.set_option("bnb_node_limit", node_limit)
+    env.set_option("bnb_time_limit", time_cap)
+    if "color_lab" in src:
+        # measured color_lab IPM profile (bench.py provenance)
+        env.set_option("ipm_max_iters", 28)
+        env.set_option("ipm_tail_kkt_rounds", 4)
+        env.set_option("ipm_refine_steps", 0)
+        env.set_option("ipm_chol_retry", 0)
+        env.set_option("node_batch", 64)
+    if solver == "mqg":
+        from minotaur_tpu.bnb.qg import QGBranchAndBound as K
+    else:
+        from minotaur_tpu.bnb.bnb import BranchAndBound as K
+    bab = K(p, env)
+    t0 = time.monotonic()
+    try:
+        st = bab.solve()
+        status = st.name
+    except Exception as e:               # TPU worker hiccups: keep partial
+        status = f"ERROR:{type(e).__name__}"
+    wall = time.monotonic() - t0
+    gap = (bab.ub - bab.lb) / max(1.0, abs(bab.ub)) \
+        if bab.ub < 1e19 else float("inf")
+    return dict(status=status, wall=round(wall, 1),
+                nodes=bab.stats.nodes_processed,
+                ub=bab.ub, lb=bab.lb, gap=gap, exact=exact)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--pad-full", type=int, default=1)
+    ap.add_argument("--only", default="")
+    ap.add_argument("--time-scale", type=float, default=1.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "scripts",
+                                                  "tpu_sweep_results.csv"))
+    ap.add_argument("--md", default=os.path.join(REPO, "SWEEP_r4.md"))
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    platform = jax.devices()[0].platform
+    log(f"sweep: devices = {jax.devices()}")
+
+    only = set(args.only.split(",")) if args.only else None
+    rows = []
+    t_sweep = time.monotonic()
+    for kind, src, solver, nlim, tcap, known, note in PLAN:
+        name = os.path.basename(src).replace(".nl", "")
+        if only and name not in only:
+            continue
+        log(f"sweep: {name} ({solver}) ...")
+        r = run_one(kind, src, solver, nlim, tcap * args.time_scale,
+                    args.batch, args.pad_full)
+        truth = r["exact"] if r["exact"] is not None else known
+        if truth is not None and r["ub"] < 1e19:
+            r["ub_vs_truth"] = abs(r["ub"] - truth) / max(1.0, abs(truth))
+            r["verified"] = r["ub_vs_truth"] <= 1e-5
+        else:
+            r["ub_vs_truth"] = None
+            r["verified"] = None
+        rows.append(dict(name=name, solver=solver, note=note,
+                         truth=truth, **r))
+        log(f"sweep: {name}: {r['status']} wall={r['wall']}s "
+            f"nodes={r['nodes']} ub={r['ub']:.8g} lb={r['lb']:.8g} "
+            f"gap={r['gap']:.3g} verified={r['verified']}")
+
+    total = time.monotonic() - t_sweep
+    n_opt = sum(1 for r in rows if r["status"] == "SOLVED_OPTIMAL")
+    n_ver = sum(1 for r in rows if r["verified"])
+
+    with open(args.out, "w") as f:
+        f.write("instance,solver,status,wall_s,nodes,ub,lb,rel_gap,"
+                "truth,verified,note\n")
+        for r in rows:
+            f.write(f"{r['name']},{r['solver']},{r['status']},{r['wall']},"
+                    f"{r['nodes']},{r['ub']:.10g},{r['lb']:.10g},"
+                    f"{r['gap']:.3g},"
+                    f"{'' if r['truth'] is None else format(r['truth'], '.10g')},"
+                    f"{r['verified']},{r['note']}\n")
+
+    with open(args.md, "w") as f:
+        f.write(
+            "# Solve-to-gap sweep (round 4)\n\n"
+            f"Platform: **{platform}** ({jax.devices()[0]}).  Harness:\n"
+            "`scripts/tpu_sweep.py` (mirror of the reference's\n"
+            "scripts/minlp-test.py:36-60 protocol: instance list + time\n"
+            "caps + solutions verification).  Gap target 1e-6 relative\n"
+            "(solAbs/solRel defaults, BranchAndBound.cpp:278-283\n"
+            "semantics).  Instances: shipped reference .nl files plus\n"
+            "same-family analogues of the convex list\n"
+            "(models/convex_suite.py), each with an INDEPENDENT exact\n"
+            "optimum (vectorized brute force, DP over a separable\n"
+            "budget, or binary-pattern enumeration + active-set QP) the\n"
+            "solved ub is checked against.\n\n"
+            f"**{n_opt}/{len(rows)} SOLVED_OPTIMAL at 1e-6; "
+            f"{n_ver} ubs verified against ground truth; total wall "
+            f"{total:.0f}s.**\n\n"
+            "| instance | family | solver | status | wall s | nodes | ub"
+            " | lb | rel gap | truth | ub==truth |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            truth = "—" if r["truth"] is None else f"{r['truth']:.8g}"
+            ver = {True: "✅", False: "❌", None: "—"}[r["verified"]]
+            f.write(f"| {r['name']} | {r['note']} | {r['solver']} | "
+                    f"{r['status']} | {r['wall']} | {r['nodes']} | "
+                    f"{r['ub']:.8g} | {r['lb']:.8g} | {r['gap']:.3g} | "
+                    f"{truth} | {ver} |\n")
+        f.write(
+            "\nNotes:\n"
+            "- tls4: the trimloss construction supplies the optimum 8.3 "
+            "as incumbent at the root (bnb/trimloss.py); the table's lb "
+            "is the certified bound reached under the caps — full lb "
+            "closure of the convexified tree remains open.\n"
+            "- color_lab2_4x0: no published optimum; the row records "
+            "best ub / certified lb under the caps (the throughput "
+            "headline for this instance lives in bench.py).\n")
+    print(json.dumps({"solved_optimal": n_opt, "verified": n_ver,
+                      "rows": len(rows), "total_wall_s": round(total, 1),
+                      "platform": platform}))
+
+
+if __name__ == "__main__":
+    main()
