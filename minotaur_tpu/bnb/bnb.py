@@ -74,6 +74,13 @@ class BranchAndBound:
                 self.env.logger.info(
                     f"presolve: {ncr} big-M sum-of-squares rows "
                     f"reformulated to cone form (quadConeRef)")
+            if opts.get("persp_ref"):
+                from .persp import perspective_reform
+                npr = perspective_reform(problem)
+                if npr:
+                    self.env.logger.info(
+                        f"presolve: {npr} on/off rows perspective-"
+                        f"reformulated (perspRef)")
         self.sp = staged or stage_problem(problem)
         order = {"dfs": TreeSearchOrder.DFS, "bfs": TreeSearchOrder.BFS,
                  "BthenD": TreeSearchOrder.BEST_THEN_DIVE}.get(

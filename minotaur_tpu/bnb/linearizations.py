@@ -177,3 +177,79 @@ class RootLinearizer:
         if around is not None and np.all(np.isfinite(around)):
             pts = 0.5 * (pts + around[None, :])
         return pts
+
+
+# ----------------------------------------------- rs1/rs2/rs3 schemes
+
+def _univariate_rows(sp: StagedProblem):
+    """(k, row, var) for nonlinear rows whose graph touches ONE variable
+    — the rows the reference's rootLinScheme1_/2_ target
+    (Linearizations.cpp:2195,2415 take a single nVarIdx)."""
+    out = []
+    for k, r in enumerate(sp.nl_rows):
+        g = sp.nl_graphs[k] if k < len(sp.nl_graphs) else None
+        if g is None:
+            continue
+        vs = g.vars_used()
+        if len(vs) == 1:
+            out.append((k, int(r), int(vs[0])))
+    return out
+
+
+class RootSchemes:
+    """Vectorized analogues of the reference's root linearization
+    scheme family (Linearizations.h:30-96).
+
+    rs1 — univariate tangent FAN: the reference recursively inserts a
+      tangent at the intersection of adjacent tangents until the
+      envelope gap closes (rootLinScheme1_ :2195); the fixed-point of
+      that recursion is a dense set of tangents across the variable's
+      range, so the TPU form places all `rs1` abscissae at once and
+      evaluates every gradient in one batched AD call.
+    rs2 — NEIGHBORHOOD cuts around the root NLP solution
+      (rootLinScheme2_ :2415, parameters rs2Per_/rs2NbhSize_): sampled
+      perturbations of x* along each row's nonlinear variables.
+    rs3 — LP-guided ESH rounds (rootLinScheme3_: solve the LP, walk
+      toward the feasible region, cut at the boundary, resolve): the
+      driver loop lives in QG (`_root_linearizations`), which re-solves
+      the master between rounds; this class supplies the boundary
+      points of one round (vectorized bisection over all rows).
+    """
+
+    def __init__(self, rl: RootLinearizer):
+        self.rl = rl
+
+    def rs1_points(self, x_star: np.ndarray, fan: int = 6) -> np.ndarray:
+        sp = self.rl.sp
+        uni = _univariate_rows(sp)
+        pts = []
+        for _, r, v in uni:
+            lo, hi = sp.vlb[v], sp.vub[v]
+            xs = x_star[v] if np.isfinite(x_star[v]) else 0.0
+            lo = xs - 50.0 if not np.isfinite(lo) else lo   # :2218 window
+            hi = xs + 50.0 if not np.isfinite(hi) else hi
+            for t in np.linspace(0.0, 1.0, fan):
+                p = x_star.copy()
+                p[v] = lo + t * (hi - lo)
+                pts.append(p)
+        return np.asarray(pts).reshape(-1, sp.n)
+
+    def rs2_points(self, x_star: np.ndarray, nbh: float = 0.25,
+                   count: int = 4) -> np.ndarray:
+        sp = self.rl.sp
+        rng = self.rl._rng
+        nl_vars = sorted({int(v) for k, r in enumerate(sp.nl_rows)
+                          for v in (sp.nl_graphs[k].vars_used()
+                                    if k < len(sp.nl_graphs) else [])})
+        if not nl_vars or not np.all(np.isfinite(x_star)):
+            return np.zeros((0, sp.n))
+        span = np.where(np.isfinite(sp.vub) & np.isfinite(sp.vlb),
+                        sp.vub - sp.vlb, 2.0)
+        pts = np.tile(x_star, (count, 1))
+        for v in nl_vars:
+            d = nbh * span[v]
+            pts[:, v] = np.clip(
+                x_star[v] + rng.uniform(-d, d, size=count),
+                sp.vlb[v] if np.isfinite(sp.vlb[v]) else -1e12,
+                sp.vub[v] if np.isfinite(sp.vub[v]) else 1e12)
+        return pts

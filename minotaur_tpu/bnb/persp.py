@@ -118,3 +118,90 @@ def detect_perspective(sp: StagedProblem) -> List[PerspRow]:
             continue
         out.append(PerspRow(k=k, row=r, z=int(z), vars=all_vs))
     return out
+
+
+# ---------------------------------------------------------------- reform
+
+def _persp_rebuild(g2, w, sources):
+    """Rebuild source graphs into g2 with every VAR node v replaced by
+    v / w (the perspective substitution of CGraph::getPersp,
+    CGraph.cpp:757-969).  Returns the sum of the rebuilt roots."""
+    from ..ir.expr import ExprGraph  # noqa: F401  (typing aid)
+    from ..ops.opcodes import Op
+    total = None
+    for g in sources:
+        memo = {}
+        order = []
+        stack = [g.root]
+        seen = set()
+        while stack:                      # iterative post-order
+            i = stack.pop()
+            if i in seen or i < 0:
+                continue
+            seen.add(i)
+            order.append(i)
+            stack.extend(a for a in (g._arg1[i], g._arg2[i]) if a >= 0)
+        for i in sorted(order):           # children precede parents
+            op = Op(g._op[i])
+            if op is Op.NUM:
+                memo[i] = g2.num(g._const[i])
+            elif op is Op.VAR:
+                memo[i] = g2.node(Op.DIV, g2.var(g._var[i]), w)
+            else:
+                a1 = memo.get(g._arg1[i], -1) if g._arg1[i] >= 0 else -1
+                a2 = memo.get(g._arg2[i], -1) if g._arg2[i] >= 0 else -1
+                memo[i] = g2._push(op, a1, a2, g._const[i], -1)
+        r = memo[g.root]
+        total = r if total is None else g2.node(Op.PLUS, total, r)
+    return total
+
+
+def perspective_reform(problem, eps: float = 1e-6) -> int:
+    """Presolve-time perspective REFORMULATION (reference `persp_ref`:
+    NlPresHandler::perspRef_ :837 + CGraph::getPersp).
+
+    Every detected on/off row  lf(x) + G(x) <= ub  (all of G's variables
+    zero-forced by one binary z, G(0) <= ub) is REWRITTEN in place as
+
+        lf(x) + w * ( G(x/w) - ub ) <= 0,   w = eps + (1-eps) z ,
+
+    the eps-smoothed perspective of the shifted body: exact at z=1,
+    and at z=0 (row vars forced to 0) it evaluates to eps*(G(0)-ub)
+    <= 0 — valid by the detection precondition.  The linear part is
+    invariant under the perspective map (w * (a.(x/w)) == a.x) and
+    stays outside the graph.  For convex G this is the convex-hull
+    strengthening of the on/off set — strictly tighter than the
+    McCormick-style big-M relaxation the plain row gives.
+
+    Mutates `problem` (run BEFORE staging, like quad_cone_reform) and
+    returns the number of rows reformulated."""
+    from ..engines.staging import stage_problem
+    from ..ir.expr import ExprGraph
+    from ..ir.functions import Function
+    from ..ops.opcodes import Op
+
+    sp = stage_problem(problem)
+    rows = detect_perspective(sp)
+    n_ref = 0
+    for pr in rows:
+        con = problem.cons[pr.row]
+        sources = []
+        if con.fun.qf is not None:
+            sources.append(con.fun.qf.to_expr_graph())
+        if con.fun.nlf is not None:
+            sources.append(con.fun.nlf)
+        if not sources or not np.isfinite(con.ub):
+            continue
+        if any(pr.z in g.vars_used() for g in sources):
+            continue                      # z inside G: not supported
+        g2 = ExprGraph()
+        w = g2.node(Op.PLUS, g2.num(eps),
+                    g2.node(Op.MULT, g2.num(1.0 - eps), g2.var(pr.z)))
+        sub = _persp_rebuild(g2, w, sources)
+        body = g2.node(Op.MINUS, sub, g2.num(float(con.ub)))
+        g2.set_root(g2.node(Op.MULT, w, body))
+        con.fun = Function(lf=con.fun.lf, nlf=g2)
+        con.ub = 0.0
+        con.lb = -_INF
+        n_ref += 1
+    return n_ref

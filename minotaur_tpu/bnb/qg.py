@@ -88,6 +88,14 @@ class QGBranchAndBound(BranchAndBound):
 
     def __init__(self, problem: Problem, env: Optional[Environment] = None):
         env = env or Environment()
+        if env.options.get("persp_ref"):
+            # structure-rewriting perspective reformulation must run
+            # BEFORE staging (reference NlPresHandler::perspRef_ :837)
+            from .persp import perspective_reform
+            npr = perspective_reform(problem)
+            if npr:
+                env.logger.info(f"presolve: {npr} on/off rows "
+                                f"perspective-reformulated (perspRef)")
         sp = stage_problem(problem)
         self.sp_orig = sp
         # qg_max_cuts sizes the QG pool; cut_pool_capacity is the global
@@ -382,9 +390,10 @@ class QGBranchAndBound(BranchAndBound):
         rs1-3/ESH + AnalyticalCenter, wired by QGHandlerAdvance)."""
         sp = self.sp_orig
         scheme = str(self.env.options.get("root_linearizations"))
-        if scheme not in ("esh", "sample", "both") or not len(sp.nl_rows):
+        if scheme not in ("esh", "sample", "both", "rs1", "rs2", "rs3") \
+                or not len(sp.nl_rows):
             return
-        from .linearizations import RootLinearizer
+        from .linearizations import RootLinearizer, RootSchemes
         rl = RootLinearizer(sp, self._ipm_opts,
                             seed=int(self.env.options.get("rand_seed")))
         added = 0
@@ -401,6 +410,34 @@ class QGBranchAndBound(BranchAndBound):
             cnt = int(self.env.options.get("root_linearization_samples"))
             pts = rl.sample_points(sp.vlb, sp.vub, x0, cnt)
             added += self._cuts_at(pts)
+        if scheme == "rs1":
+            # univariate tangent fans (rootLinScheme1_ :2195)
+            pts = RootSchemes(rl).rs1_points(x0)
+            if len(pts):
+                added += self._cuts_at(pts)
+        if scheme == "rs2":
+            # neighborhood cuts around the root NLP point (:2415)
+            pts = RootSchemes(rl).rs2_points(x0)
+            if len(pts):
+                added += self._cuts_at(pts)
+        if scheme == "rs3":
+            # LP-guided ESH rounds: solve LP -> boundary cuts -> resolve
+            xc = rl.analytic_center(sp.vlb, sp.vub)
+            if xc is None:
+                xc = x0 if np.all(np.isfinite(x0)) else None
+            if xc is not None:
+                for _ in range(max(1, int(self.env.options.get(
+                        "root_linearization_samples")) // 4)):
+                    xo = self._root_lp_solution()
+                    if xo is None:
+                        break
+                    pts, valid = rl.esh_points(xc, xo)
+                    if not valid.any():
+                        break
+                    got = self._cut_rows_at(pts, valid)
+                    added += got
+                    if not got:
+                        break
         if added:
             self._log.info(f"root linearizations ({scheme}): "
                            f"{added} cuts")

@@ -100,12 +100,17 @@ def _create_default_options(db: OptionDB) -> None:
         "0.5/1/2/5; 0 = cadence-based ECP instead)", 0.0)
     ins("root_linearizations", str, "extra root linearization scheme for QG: "
         "esh (supporting hyperplanes via analytic-center bisection), sample "
-        "(gradient cuts at interior samples), both, or off "
-        "(reference Linearizations rs1-3/ESH)", "esh")
+        "(gradient cuts at interior samples), both, rs1 (univariate "
+        "tangent fans, rootLinScheme1_), rs2 (neighborhood cuts around "
+        "the root NLP point, rootLinScheme2_), rs3 (LP-guided ESH "
+        "rounds, rootLinScheme3_), or off", "esh")
     ins("root_linearization_samples", int, "sample count for the sampled "
         "root linearization scheme", 8)
     ins("persp_cuts", bool, "perspective cuts for indicator-controlled "
         "nonlinear rows (reference PerspCutHandler)", True)
+    ins("persp_ref", bool, "presolve-time perspective REFORMULATION of "
+        "indicator-controlled nonlinear rows (eps-smoothed w*g(x/w); "
+        "reference NlPresHandler::perspRef_ :837)", False)
     # --- heuristics ----------------------------------------------------
     ins("divheur", bool, "MINLP diving heuristic before the tree", False)
     ins("trimloss_heur", bool, "constructive heuristic for square-encoded "

@@ -85,3 +85,72 @@ def test_persp_cut_validity():
                 vals = A @ pt
                 assert np.all(vals <= ub + 1e-7)
                 assert np.all(vals >= lb - 1e-7)
+
+
+def _semicont_multi(n=3):
+    """min sum(-x_i + c_i z_i) s.t. x_i^2 <= 2 (on/off via z_i),
+    x_i <= 4 z_i, coupling sum z <= n-1."""
+    p = Problem("semicont_multi")
+    for i in range(n):
+        p.new_variable(0, 4, VarType.CONTINUOUS, f"x{i}")
+    for i in range(n):
+        p.new_variable(0, 1, VarType.BINARY, f"z{i}")
+    for i in range(n):
+        qf = QuadraticFunction()
+        qf.add_term(i, i, 1.0)
+        p.new_constraint(Function(qf=qf), -INF, 2.0, f"q{i}")
+        p.new_constraint(Function(lf=LinearFunction({i: 1.0, n + i: -4.0})),
+                         -INF, 0.0, f"link{i}")
+    p.new_constraint(Function(lf=LinearFunction(
+        {n + i: 1.0 for i in range(n)})), -INF, float(n - 1), "card")
+    p.new_objective(Function(lf=LinearFunction(
+        {**{i: -1.0 for i in range(n)},
+         **{n + i: 0.35 + 0.05 * i for i in range(n)}})))
+    return p
+
+
+def test_persp_reform_rewrites_and_is_exact():
+    """persp_ref (reference NlPresHandler::perspRef_): rows are rewritten
+    to the eps-smoothed perspective, the reformulated model keeps the
+    same optimum, and its CONTINUOUS relaxation is at least as tight."""
+    from minotaur_tpu.bnb.persp import perspective_reform
+    from minotaur_tpu.engines.ipm import build_batch_solver
+
+    p_ref = _semicont_multi()
+    nref = perspective_reform(p_ref)
+    assert nref == 3
+    # the known optimum (z_i=1 for two cheapest, x=sqrt(2)) stays feasible
+    import math
+    x = np.zeros(6)
+    x[0] = x[1] = math.sqrt(2.0)
+    x[3] = x[4] = 1.0
+    assert p_ref.is_feasible(x, atol=1e-6, int_tol=1e-6)
+
+    # continuous-relaxation tightening: persp relaxation >= plain
+    def root_bound(p):
+        sp = stage_problem(p)
+        res = build_batch_solver(sp)(sp.A, sp.clb, sp.cub,
+                                     sp.vlb[None, :], sp.vub[None, :])
+        assert int(res.status[0]) == 1
+        return float(res.obj[0])
+
+    plain = root_bound(_semicont_multi())
+    persp = root_bound(p_ref)
+    assert persp >= plain - 1e-7
+    assert persp >= plain + 1e-3   # strictly tighter on this structure
+
+
+@pytest.mark.slow
+def test_persp_ref_end_to_end_same_optimum():
+    from minotaur_tpu.bnb.bnb import BranchAndBound
+    ubs = {}
+    for flag in (0, 1):
+        env = Environment()
+        env.set_option("log_level", 0)
+        env.set_option("persp_ref", flag)
+        env.set_option("node_batch", 4)
+        bab = BranchAndBound(_semicont_multi(), env)
+        st = bab.solve()
+        assert st == SolveStatus.SOLVED_OPTIMAL
+        ubs[flag] = bab.ub
+    assert ubs[0] == pytest.approx(ubs[1], abs=1e-5)
