@@ -482,6 +482,248 @@ def batchdes_like_optimum(seed: int = 0) -> float:
     return best
 
 
+# --------------------------------- flay/slay-like (disjunctive layout)
+
+def _layout_data(k, seed):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(1.0, 2.5, size=k)            # cell widths
+    t = np.sort(rng.uniform(4.0, 16.0, size=k))  # target centers (interior)
+    ycost = rng.uniform(0.05, 0.4, size=k * (k - 1) // 2)
+    return w, t, ycost
+
+
+def layout1d(k: int = 4, seed: int = 0) -> Problem:
+    """1-D cell layout with pairwise non-overlap disjunctions (family:
+    flay02-05 / slay* — convex quadratic placement + big-M ordering
+    binaries).  y_ij=1 means cell i left of cell j; every 0/1 pattern is
+    a tournament, feasible iff it is a total order, so the lattice
+    enumeration over k! orderings below is exhaustive."""
+    w, t, ycost = _layout_data(k, seed)
+    L = 24.0
+    M = L + float(w.max()) + 1.0
+    p = Problem(f"layout1d_{k}")
+    for i in range(k):
+        p.new_variable(0.0, L, VarType.CONTINUOUS, f"x{i}")
+    pairs = list(itertools.combinations(range(k), 2))
+    for q, (i, j) in enumerate(pairs):
+        p.new_variable(0, 1, VarType.BINARY, f"y{i}_{j}")
+    for q, (i, j) in enumerate(pairs):
+        yv = k + q
+        # y=1: x_i + w_i <= x_j   <->  x_i - x_j + M y <= M - w_i
+        p.new_constraint(Function(lf=LinearFunction(
+            {i: 1.0, j: -1.0, yv: M})), -_INF, M - float(w[i]),
+            f"lft{i}_{j}")
+        # y=0: x_j + w_j <= x_i   <->  x_j - x_i - M y <= -w_j
+        p.new_constraint(Function(lf=LinearFunction(
+            {j: 1.0, i: -1.0, yv: -M})), -_INF, -float(w[j]),
+            f"rgt{i}_{j}")
+    qf = QuadraticFunction()
+    lf = LinearFunction()
+    for i in range(k):
+        qf.add_term(i, i, 1.0)
+        lf.add_term(i, -2.0 * float(t[i]))
+    for q in range(len(pairs)):
+        lf.add_term(k + q, float(ycost[q]))
+    p.new_objective(Function(lf=lf, qf=qf), const=float(t @ t))
+    return p
+
+
+def _pava(b: np.ndarray) -> np.ndarray:
+    """Exact isotonic regression (nondecreasing, unit weights): pool
+    adjacent violators.  min sum (u_k - b_k)^2 s.t. u_1<=...<=u_n."""
+    blocks = [[b[0], 1.0]]                     # (mean, count)
+    for v in b[1:]:
+        blocks.append([float(v), 1.0])
+        while len(blocks) > 1 and blocks[-2][0] >= blocks[-1][0] - 1e-15:
+            m2, c2 = blocks.pop()
+            m1, c1 = blocks.pop()
+            blocks.append([(m1 * c1 + m2 * c2) / (c1 + c2), c1 + c2])
+    out = []
+    for m, c in blocks:
+        out.extend([m] * int(round(c)))
+    return np.asarray(out)
+
+
+def layout1d_optimum(k: int = 4, seed: int = 0) -> float:
+    w, t, ycost = _layout_data(k, seed)
+    pairs = list(itertools.combinations(range(k), 2))
+    best = _INF
+    for perm in itertools.permutations(range(k)):
+        # chain x_{perm[a+1]} >= x_{perm[a]} + w_{perm[a]}: substitute
+        # u_a = x_{perm[a]} - C_a with C_a = cumulative width -> isotonic
+        C = np.concatenate([[0.0], np.cumsum(w[list(perm)])[:-1]])
+        b = t[list(perm)] - C
+        u = _pava(b)
+        x = u + C
+        if x[0] < -1e-9 or x[-1] + w[perm[-1]] > 24.0 + 1e-9:
+            continue                            # box active: skip (never
+            # best here by construction — targets are interior)
+        val = float(np.sum((x - t[list(perm)]) ** 2))
+        pos = np.empty(k, dtype=int)
+        for a, i in enumerate(perm):
+            pos[i] = a
+        for q, (i, j) in enumerate(pairs):
+            if pos[i] < pos[j]:
+                val += float(ycost[q])
+        best = min(best, val)
+    return best
+
+
+# ------------------------- uflquad-like (quadratic facility location)
+
+def _uflquad_data(nf, nc, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(0.5, 3.0, size=(nc, nf))
+    q = rng.uniform(0.5, 2.0, size=(nc, nf))
+    F = rng.uniform(1.5, 4.0, size=nf)
+    return d, q, F
+
+
+def uflquad(nf: int = 3, nc: int = 6, seed: int = 0) -> Problem:
+    """Uncapacitated facility location with FRACTIONAL assignment and
+    quadratic congestion (family: uflquad — continuous z, binary y)."""
+    d, q, F = _uflquad_data(nf, nc, seed)
+    p = Problem(f"uflquad_{nf}x{nc}")
+    zi = lambda c, f: c * nf + f
+    for c in range(nc):
+        for f in range(nf):
+            p.new_variable(0.0, 1.0, VarType.CONTINUOUS, f"z{c}_{f}")
+    yb = nc * nf
+    for f in range(nf):
+        p.new_variable(0, 1, VarType.BINARY, f"y{f}")
+    for c in range(nc):
+        p.new_constraint(Function(lf=LinearFunction(
+            {zi(c, f): 1.0 for f in range(nf)})), 1.0, 1.0, f"dem{c}")
+    for c in range(nc):
+        for f in range(nf):
+            p.new_constraint(Function(lf=LinearFunction(
+                {zi(c, f): 1.0, yb + f: -1.0})), -_INF, 0.0, f"lnk{c}_{f}")
+    qf = QuadraticFunction()
+    lf = LinearFunction()
+    for c in range(nc):
+        for f in range(nf):
+            lf.add_term(zi(c, f), float(d[c, f]))
+            qf.add_term(zi(c, f), zi(c, f), float(q[c, f]))
+    for f in range(nf):
+        lf.add_term(yb + f, float(F[f]))
+    p.new_objective(Function(lf=lf, qf=qf))
+    return p
+
+
+def uflquad_optimum(nf: int = 3, nc: int = 6, seed: int = 0) -> float:
+    """Enumerate open sets; per client the allocation QP
+    min sum d z + q z^2, sum z = 1, 0<=z<=1 is solved EXACTLY by
+    water-filling: z_f(lam) = clip((lam - d_f)/(2 q_f), 0, 1) with lam
+    found by bisection (monotone in lam)."""
+    d, q, F = _uflquad_data(nf, nc, seed)
+    best = _INF
+    for mask in range(1, 1 << nf):
+        S = [f for f in range(nf) if mask >> f & 1]
+        tot = float(sum(F[f] for f in S))
+        for c in range(nc):
+            ds, qs = d[c, S], q[c, S]
+            lo = float(ds.min())
+            hi = float((ds + 2 * qs).max())
+            for _ in range(200):
+                lam = 0.5 * (lo + hi)
+                s = np.clip((lam - ds) / (2 * qs), 0.0, 1.0).sum()
+                if s < 1.0:
+                    lo = lam
+                else:
+                    hi = lam
+            z = np.clip((0.5 * (lo + hi) - ds) / (2 * qs), 0.0, 1.0)
+            z = z / z.sum()                     # exact feasibility polish
+            tot += float(ds @ z + qs @ (z * z))
+        best = min(best, tot)
+    return best
+
+
+# ----------------------------- synthes-like (exp-cost process selection)
+
+def _synthes_data(k, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0.5, 1.2, size=k)     # exp cost curvature
+    r = rng.uniform(1.2, 2.5, size=k)     # linear revenue
+    c = rng.uniform(0.8, 2.0, size=k)     # fixed open cost
+    D = 0.45 * k                          # demand
+    u = 2.0                               # per-process capacity
+    return a, r, c, D, u
+
+
+def synthes(k: int = 5, seed: int = 0) -> Problem:
+    """Process synthesis: binaries open processes, continuous throughput
+    with exp operating cost and a linear demand row (family:
+    synthes1-3 / rsyn* / syn* — exp terms + linked binaries)."""
+    a, r, c, D, u = _synthes_data(k, seed)
+    p = Problem(f"synthes_{k}")
+    for j in range(k):
+        p.new_variable(0.0, u, VarType.CONTINUOUS, f"x{j}")
+    for j in range(k):
+        p.new_variable(0, 1, VarType.BINARY, f"y{j}")
+    # link x_j <= u y_j
+    for j in range(k):
+        p.new_constraint(Function(lf=LinearFunction(
+            {j: 1.0, k + j: -u})), -_INF, 0.0, f"lnk{j}")
+    # demand sum x >= D
+    p.new_constraint(Function(lf=LinearFunction(
+        {j: 1.0 for j in range(k)})), D, _INF, "dem")
+    # objective: sum exp(a_j x_j) - 1 - r_j x_j + c_j y_j
+    g = ExprGraph()
+    acc = None
+    for j in range(k):
+        e = g.node(Op.EXP, g.node(Op.MULT, g.num(float(a[j])), g.var(j)))
+        acc = e if acc is None else g.node(Op.PLUS, acc, e)
+    g.root = acc
+    lf = LinearFunction()
+    for j in range(k):
+        lf.add_term(j, -float(r[j]))
+        lf.add_term(k + j, float(c[j]))
+    p.new_objective(Function(lf=lf, nlf=g))
+    return p
+
+
+def synthes_optimum(k: int = 5, seed: int = 0) -> float:
+    """Enumerate binaries; the continuous part is separable convex with
+    ONE coupling row (sum x >= D): x_j(lam) = clip(ln((r_j+lam)/a_j)/a_j,
+    0, u) on the open set, lam >= 0 by bisection on sum x = D (or lam=0
+    if the unconstrained sum already covers D)."""
+    a, r, c, D, u = _synthes_data(k, seed)
+    best = _INF
+    for mask in range(1 << k):
+        S = [j for j in range(k) if mask >> j & 1]
+        if u * len(S) < D - 1e-12:
+            continue                            # cannot meet demand
+        fixed = float(sum(c[j] for j in S))
+        aS = a[S]
+        rS = r[S]
+
+        def x_of(lam):
+            z = np.log(np.maximum((rS + lam) / aS, 1e-300)) / aS
+            return np.clip(z, 0.0, u)
+
+        if x_of(0.0).sum() >= D - 1e-12:
+            x = x_of(0.0)
+        else:
+            lo, hi = 0.0, 1.0
+            while x_of(hi).sum() < D:
+                hi *= 2.0
+                if hi > 1e8:
+                    break
+            for _ in range(200):
+                lam = 0.5 * (lo + hi)
+                if x_of(lam).sum() < D:
+                    lo = lam
+                else:
+                    hi = lam
+            x = x_of(hi)        # sum >= D, within 2^-200 of the optimum
+        # closed processes are pinned at x=0 and still contribute
+        # exp(0)=1 each to the exp-sum objective
+        val = fixed + float(np.sum(np.exp(aS * x)) - rS @ x) \
+            + (k - len(S))
+        best = min(best, val)
+    return best
+
+
 # ------------------------------------------------------------ registry
 
 SUITE: Dict[str, Tuple[Callable[[], Problem], Callable[[], float], str]] = {
@@ -504,6 +746,12 @@ SUITE: Dict[str, Tuple[Callable[[], Problem], Callable[[], float], str]] = {
     "ex1223_a": (ex1223_like, ex1223_like_optimum, "ex1223a"),
     "batchdes_a": (batchdes_like, batchdes_like_optimum, "batchdes"),
     "cknap_30a": (None, None, "st_miqp-like MILP"),   # filled below
+    "layout1d_4a": (lambda: layout1d(4, 0),
+                    lambda: layout1d_optimum(4, 0), "flay03/slay"),
+    "uflquad_3x6a": (lambda: uflquad(3, 6, 0),
+                     lambda: uflquad_optimum(3, 6, 0), "uflquad"),
+    "synthes_5a": (lambda: synthes(5, 0), lambda: synthes_optimum(5, 0),
+                   "synthes2/rsyn"),
 }
 
 

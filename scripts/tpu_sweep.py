@@ -4,7 +4,7 @@ Mirrors the reference's benchmark harness (scripts/minlp-test.py:36-60:
 run the solver over an instance list with a time limit, verify against a
 solutions table).  Instances: the two shipped reference .nl files that
 close (nvs08) or stress (tls4, color_lab2_4x0) the pipeline, plus the
-11 convex-family analogues from models/convex_suite.py — each with an
+14 convex-family analogues from models/convex_suite.py — each with an
 INDEPENDENT exact optimum (brute force / DP / pattern enumeration) that
 the solved ub is verified against.
 
@@ -45,6 +45,9 @@ PLAN = [
     ("suite", "ex1223_a", "mbnb", 4000, 420.0, None, "ex1223a"),
     ("suite", "batchdes_a", "mbnb", 4000, 420.0, None, "batchdes"),
     ("suite", "cknap_30a", "mbnb", 4000, 420.0, None, "correlated knap"),
+    ("suite", "layout1d_4a", "mbnb", 8000, 420.0, None, "flay03/slay"),
+    ("suite", "uflquad_3x6a", "mbnb", 8000, 420.0, None, "uflquad"),
+    ("suite", "synthes_5a", "mbnb", 4000, 420.0, None, "synthes2/rsyn"),
     ("ref", f"{REF}/tls4.nl", "mqg", 2000, 600.0, 8.3,
      "shipped; optimum 8.3 (trimloss construction); lb climb capped"),
     ("ref", f"{REF}/color_lab2_4x0.nl", "mbnb", 32768, 600.0, None,

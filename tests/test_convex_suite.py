@@ -11,7 +11,7 @@ from minotaur_tpu.utils.environment import Environment
 
 
 def test_suite_registry_complete():
-    assert len(SUITE) == 11
+    assert len(SUITE) == 14
     for name, (gen, opt, fam) in SUITE.items():
         p = gen()
         assert p.n_vars > 0
