@@ -18,6 +18,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite's wall time is dominated by IPM
+# superstep compiles (VERDICT r3 weak #9); caching them makes re-runs
+# (local loops, CI retries) skip straight to execution.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 REF_INSTANCES = "/root/reference/src/testing/instances"
