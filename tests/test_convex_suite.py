@@ -20,7 +20,7 @@ def test_suite_registry_complete():
         assert v == pytest.approx(opt(), abs=0.0)   # deterministic
 
 
-@pytest.mark.parametrize("name", ["gbd_a", "batchdes_a"])
+@pytest.mark.parametrize("name", ["gbd_a", "batchdes_a", "uflquad_3x6a"])
 def test_solver_matches_oracle(name):
     from minotaur_tpu.bnb.bnb import BranchAndBound
     gen, opt, _fam = SUITE[name]
