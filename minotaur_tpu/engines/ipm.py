@@ -1590,12 +1590,34 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
     import jax.numpy as jnp
 
     n = sp.n
+    m = sp.m
     solve_one = build_single_solver(sp, opts)
 
     @functools.partial(jax.jit)
     def solve_batch(A, clb, cub, vlb_b, vub_b, x0_b):
-        return jax.vmap(solve_one, in_axes=(None, None, None, 0, 0, 0))(
+        # pack every output into ONE array: each device->host fetch costs
+        # ~0.1-0.5 s of pure LATENCY through the tunnel regardless of
+        # size (CLAUDE.md), and nested engine calls (QG fix-int oracle,
+        # multistart lanes, heuristic dives) read 5+ fields per solve —
+        # same trick as bnb/step.py::pack_step_result, measured 5x on
+        # the tls4 host phase
+        r = jax.vmap(solve_one, in_axes=(None, None, None, 0, 0, 0))(
             A, clb, cub, vlb_b, vub_b, x0_b)
+        f = r.x.dtype
+        return jnp.concatenate(
+            [r.x, r.y, r.obj[:, None].astype(f),
+             r.dual_bound[:, None].astype(f),
+             r.status[:, None].astype(f), r.iters[:, None].astype(f),
+             r.kkt_err[:, None].astype(f)], axis=1)
+
+    def _unpack(arr: "np.ndarray") -> IPMResult:
+        arr = np.asarray(arr)
+        return IPMResult(
+            x=arr[:, :n], y=arr[:, n:n + m],
+            obj=arr[:, n + m], dual_bound=arr[:, n + m + 1],
+            status=arr[:, n + m + 2].astype(np.int32),
+            iters=arr[:, n + m + 3].astype(np.int32),
+            kkt_err=arr[:, n + m + 4])
 
     def solve(A, clb, cub, vlb_b, vub_b, x0_b=None):
         A = jnp.asarray(A)
@@ -1613,6 +1635,10 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
                 x0_b = 0.5 * (lo + hi)
             else:
                 x0_b = jnp.zeros((vlb_b.shape[0], n))
-        return solve_batch(A, clb, cub, vlb_b, vub_b, jnp.asarray(x0_b))
+        return _unpack(solve_batch(A, clb, cub, vlb_b, vub_b,
+                                   jnp.asarray(x0_b)))
 
+    # async surface for callers that overlap host work with the solve
+    solve.dispatch = solve_batch
+    solve.unpack = _unpack
     return solve
