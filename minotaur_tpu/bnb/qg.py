@@ -929,6 +929,72 @@ class QGBranchAndBound(BranchAndBound):
                 passed.append(i)
         return passed
 
+    def _dispatch_oracle(self, sep_lanes, heur_lanes, nvlb, nvub, xs):
+        """Build and ASYNC-dispatch the batched fix-int NLP oracle
+        (reference: QGHandler::fixInts_ -> solveNLP_, QGHandler.cpp:205,
+        627).  Rounding-dive lanes ride the same batched call: fractional
+        LP solutions get their integers rounded+fixed and solved too — a
+        TPU-cheap primal heuristic (reference divheur analogue) that
+        supplies the incumbents plain QG only finds at integral LPs.
+        Returns (handle, B2, n_harvest) or None; unpack with
+        self._nlp_solve.unpack(handle)."""
+        if not (sep_lanes or heur_lanes):
+            return None
+        sp = self.sp_orig
+        n = sp.n
+        all_lanes = sep_lanes + heur_lanes
+        B2 = len(all_lanes)
+        bucket = 1
+        while bucket < B2:
+            bucket *= 4
+        idxs = all_lanes + [all_lanes[0]] * (bucket - B2)
+        vlb2 = np.stack([nvlb[i][:n] for i in idxs])
+        vub2 = np.stack([nvub[i][:n] for i in idxs])
+        # heuristic lanes use partition-aware rounding with noise for
+        # diversity (naive rounding always breaks set-partition rows)
+        n_sep = len(sep_lanes)
+        xr_list = []
+        for j, i in enumerate(idxs):
+            if j < n_sep or not self._part_rows:
+                xr_list.append(np.round(xs[i][:n]))
+            else:
+                from .heuristics import partition_round
+                xr_list.append(partition_round(
+                    xs[i][:n], self._part_rows, sp.int_mask,
+                    rng=self._rng, noise=0.0 if j == n_sep else 0.3))
+        from .heuristics import partition_round as _part_round
+        xr2 = np.stack(xr_list)
+        # padding lanes carry monotone-REPAIRED roundings over the
+        # GLOBAL box instead of wasted duplicates of lane 0
+        n_pad = bucket - B2
+        n_harvest = B2
+        if n_pad > 0 and len(sp.nl_rows) and (heur_lanes or sep_lanes):
+            srcs = (heur_lanes or sep_lanes)
+            pick = [srcs[j % len(srcs)] for j in range(n_pad)]
+            # partition-aware roundings on set-partition models:
+            # naive rounding always breaks partition rows, so plain
+            # np.round would seed every padding lane infeasible
+            if self._part_rows:
+                seeds = [_part_round(xs[i][:n], self._part_rows,
+                                     sp.int_mask, rng=self._rng,
+                                     noise=0.3) for i in pick]
+            else:
+                seeds = [np.round(xs[i][:n]) for i in pick]
+            rep = self._monotone_repair(np.stack(seeds))
+            for j in range(n_pad):
+                xr2[B2 + j] = rep[j]
+                vlb2[B2 + j] = sp.vlb
+                vub2[B2 + j] = sp.vub
+            n_harvest = bucket
+        ints = sp.int_mask
+        fixv = np.clip(xr2[:, ints], vlb2[:, ints], vub2[:, ints])
+        vlb2[:, ints] = fixv
+        vub2[:, ints] = fixv
+        x0 = np.stack([xs[i][:n] for i in idxs])
+        handle = self._nlp_solve.dispatch(sp.A, sp.clb, sp.cub,
+                                          vlb2, vub2, x0)
+        return handle, B2, n_harvest
+
     def _handle_batch(self, batch: List[Node], res, next_id: int,
                       seen: Optional[set] = None) -> int:
         status = np.asarray(res.status)
@@ -943,6 +1009,31 @@ class QGBranchAndBound(BranchAndBound):
         sp = self.sp_orig
         n = sp.n
         self._update_cut_activity(xs)
+        # --- separation: integral LP lanes -> batched fix-int NLPs ------
+        # Classify lanes FIRST and dispatch the oracle ASYNCHRONOUSLY:
+        # the cut separation below (ECP, covers, LGCI) overlaps with the
+        # oracle's device execution and only the harvest blocks.  tls4
+        # profile: the oracle is the dominant per-batch device cost.
+        sep_lanes: List[int] = []
+        heur_lanes: List[int] = []
+        if seen is None:
+            seen = set()
+        seen_sep = set(seen)
+        for i, node in enumerate(batch):
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            if status[i] not in (EngineStatus.SOLVED_OPTIMAL,
+                                 EngineStatus.ITERATION_LIMIT) or \
+                    db[i] >= 1e15:
+                continue
+            if int_feas[i]:
+                sep_lanes.append(i)
+            elif len(heur_lanes) < self._heur_lanes_cap:
+                heur_lanes.append(i)
+        oracle = self._dispatch_oracle(sep_lanes, heur_lanes, nvlb, nvub,
+                                       xs)
+
         # ECP-style linearization at fractional LP points (reference:
         # QGHandlerAdvance cutMethod_="ecp", QGHandlerAdvance.cpp:75):
         # gradient cuts are valid anywhere for convex bodies and lift the
@@ -993,29 +1084,6 @@ class QGBranchAndBound(BranchAndBound):
                     coefs[vars_] = lcoefs
                     self._add_cut(coefs, -_INF, rhs)
 
-        # --- separation: integral LP lanes -> batched fix-int NLPs ------
-        # Rounding-dive lanes ride the same batched NLP call: fractional
-        # LP solutions get their integers rounded+fixed and solved too —
-        # a TPU-cheap primal heuristic (reference divheur analogue) that
-        # supplies the incumbents plain QG only finds at integral LPs.
-        sep_lanes: List[int] = []
-        heur_lanes: List[int] = []
-        if seen is None:
-            seen = set()
-        seen_sep = set(seen)
-        for i, node in enumerate(batch):
-            if id(node) in seen:
-                continue
-            seen.add(id(node))
-            if status[i] not in (EngineStatus.SOLVED_OPTIMAL,
-                                 EngineStatus.ITERATION_LIMIT) or \
-                    db[i] >= 1e15:
-                continue
-            if int_feas[i]:
-                sep_lanes.append(i)
-            elif len(heur_lanes) < self._heur_lanes_cap:
-                heur_lanes.append(i)
-
         # periodic primal heuristics while no incumbent exists: diving
         # first (FBBT-guided), pump as fallback
         if self.ub >= _INF and self.stats.batches % self._fp_period == 1 \
@@ -1034,57 +1102,9 @@ class QGBranchAndBound(BranchAndBound):
                     self._run_pump(xs[best_lane])
 
         nlp_res = None
-        if sep_lanes or heur_lanes:
-            all_lanes = sep_lanes + heur_lanes
-            B2 = len(all_lanes)
-            bucket = 1
-            while bucket < B2:
-                bucket *= 4
-            idxs = all_lanes + [all_lanes[0]] * (bucket - B2)
-            vlb2 = np.stack([nvlb[i][:n] for i in idxs])
-            vub2 = np.stack([nvub[i][:n] for i in idxs])
-            # heuristic lanes use partition-aware rounding with noise for
-            # diversity (naive rounding always breaks set-partition rows)
-            n_sep = len(sep_lanes)
-            xr_list = []
-            for j, i in enumerate(idxs):
-                if j < n_sep or not self._part_rows:
-                    xr_list.append(np.round(xs[i][:n]))
-                else:
-                    from .heuristics import partition_round
-                    xr_list.append(partition_round(
-                        xs[i][:n], self._part_rows, sp.int_mask,
-                        rng=self._rng, noise=0.0 if j == n_sep else 0.3))
-            from .heuristics import partition_round as _part_round
-            xr2 = np.stack(xr_list)
-            # padding lanes carry monotone-REPAIRED roundings over the
-            # GLOBAL box instead of wasted duplicates of lane 0
-            n_pad = bucket - B2
-            n_harvest = B2
-            if n_pad > 0 and len(sp.nl_rows) and (heur_lanes or sep_lanes):
-                srcs = (heur_lanes or sep_lanes)
-                pick = [srcs[j % len(srcs)] for j in range(n_pad)]
-                # partition-aware roundings on set-partition models:
-                # naive rounding always breaks partition rows, so plain
-                # np.round would seed every padding lane infeasible
-                if self._part_rows:
-                    seeds = [_part_round(xs[i][:n], self._part_rows,
-                                         sp.int_mask, rng=self._rng,
-                                         noise=0.3) for i in pick]
-                else:
-                    seeds = [np.round(xs[i][:n]) for i in pick]
-                rep = self._monotone_repair(np.stack(seeds))
-                for j in range(n_pad):
-                    xr2[B2 + j] = rep[j]
-                    vlb2[B2 + j] = sp.vlb
-                    vub2[B2 + j] = sp.vub
-                n_harvest = bucket
-            ints = sp.int_mask
-            fixv = np.clip(xr2[:, ints], vlb2[:, ints], vub2[:, ints])
-            vlb2[:, ints] = fixv
-            vub2[:, ints] = fixv
-            x0 = np.stack([xs[i][:n] for i in idxs])
-            nlp_res = self._nlp_solve(sp.A, sp.clb, sp.cub, vlb2, vub2, x0)
+        if oracle is not None:
+            handle, B2, n_harvest = oracle
+            nlp_res = self._nlp_solve.unpack(handle)
             self.qg_stats.nlp_solves += B2
             self.stats.solves += B2
             nlp_x = np.asarray(nlp_res.x)[:n_harvest]
