@@ -563,6 +563,20 @@ class QGBranchAndBound(BranchAndBound):
                     if self.has_eta:
                         self.sp.vlb[sp.n] = bobj - sp.obj_const - 1e-6
                     self._root_lb0 = bobj - 1e-6
+        if status != EngineStatus.SOLVED_OPTIMAL and \
+                getattr(self, "_root_lb0", -_INF) <= -_INF:
+            # UNCONDITIONAL floor (round-4 regression: a TPU-side root
+            # stall where the rescue's best lane also failed to converge
+            # left the run floorless, and the committed sweep's tls4 lb
+            # fell to 1.43 — below the proven 1.709 relaxation value the
+            # tests pin).  Solve the continuous relaxation ONCE in f64 on
+            # the host CPU backend (seconds at n~300) and anchor the eta
+            # bound / root floor from a *converged* value only.
+            anchored = self._cpu_root_anchor()
+            if anchored is not None:
+                self._log.info(
+                    f"root NLP unconverged on device; CPU f64 anchor "
+                    f"solved the relaxation: floor {anchored:.8g}")
         if status == EngineStatus.SOLVED_OPTIMAL and \
                 np.all(np.isfinite(x0)) and \
                 self.problem.is_feasible(x0, atol=1e-5, int_tol=_INF):
@@ -596,6 +610,50 @@ class QGBranchAndBound(BranchAndBound):
                     self._accept_incumbent(
                         xr, float(self.problem.eval_objective(xr)))
         return None
+
+    def _cpu_root_anchor(self) -> Optional[float]:
+        """Solve the continuous relaxation in f64 on the CPU backend and,
+        if it CONVERGES, anchor the eta lower bound and the root floor
+        (`_root_lb0`) from its objective.  Called only when both the
+        device root NLP and the multistart rescue failed to converge —
+        without this, the propagated lb falls back to loose unconverged
+        certificates (reference analogue: the root relaxation value is
+        always available because Ipopt runs on the host,
+        QGHandler.cpp:224).  Returns the floor value or None."""
+        import jax
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception as e:
+            self._log.debug(f"CPU backend unavailable for root anchor: "
+                            f"{e}")
+            return None
+        sp = self.sp_orig
+        opts = dataclasses.replace(
+            self._ipm_opts, factor_f32=False, tail_factor_f32=False,
+            max_iters=max(120, self._ipm_opts.max_iters))
+        try:
+            with jax.default_device(cpu):
+                solver = build_batch_solver(sp, opts)
+                res = solver(sp.A, sp.clb, sp.cub, sp.vlb[None, :],
+                             sp.vub[None, :])
+        except Exception as e:   # the anchor must never kill a solve
+            self._log.info(f"CPU f64 root anchor failed: "
+                           f"{type(e).__name__}: {e}")
+            return None
+        self.qg_stats.nlp_solves += 1
+        if int(res.status[0]) != EngineStatus.SOLVED_OPTIMAL or \
+                not np.isfinite(float(res.obj[0])):
+            self._log.info("CPU f64 root anchor did not converge either; "
+                           "lb keeps unconverged certificates")
+            return None
+        val = float(res.obj[0])
+        if self.has_eta:
+            self.sp.vlb[sp.n] = val - sp.obj_const - 1e-6
+        self._root_lb0 = val - 1e-6
+        x0 = np.asarray(res.x[0])
+        if np.all(np.isfinite(x0)):
+            self._cuts_at(x0[None, :])
+        return val
 
     def problem_sp_for_ms(self):
         """Original-space staged problem for the multistart rescue."""

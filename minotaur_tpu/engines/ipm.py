@@ -1604,6 +1604,12 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         r = jax.vmap(solve_one, in_axes=(None, None, None, 0, 0, 0))(
             A, clb, cub, vlb_b, vub_b, x0_b)
         f = r.x.dtype
+        # the certified dual bound must never be silently downcast: a
+        # round-to-nearest into f32 can round UP and break the sound-
+        # pruning invariant.  x64 is required for this packed layout.
+        assert f == jnp.float64, (
+            "build_batch_solver requires jax_enable_x64 (packed result "
+            f"would downcast certified bounds to {f})")
         return jnp.concatenate(
             [r.x, r.y, r.obj[:, None].astype(f),
              r.dual_bound[:, None].astype(f),
@@ -1638,7 +1644,25 @@ def build_batch_solver(sp: StagedProblem, opts: IPMOptions = IPMOptions(),
         return _unpack(solve_batch(A, clb, cub, vlb_b, vub_b,
                                    jnp.asarray(x0_b)))
 
-    # async surface for callers that overlap host work with the solve
-    solve.dispatch = solve_batch
+    # async surface for callers that overlap host work with the solve —
+    # same input normalization / x0 defaulting as solve() (a raw
+    # solve_batch alias would give a jit arity error to callers omitting
+    # x0 and re-upload numpy args without jnp.asarray)
+    def dispatch(A, clb, cub, vlb_b, vub_b, x0_b=None):
+        A = jnp.asarray(A)
+        clb = jnp.asarray(clb)
+        cub = jnp.asarray(cub)
+        vlb_b = jnp.asarray(vlb_b)
+        vub_b = jnp.asarray(vub_b)
+        if x0_b is None:
+            if len(sp.nl_rows) or sp.obj_nl is not None:
+                lo = jnp.where(jnp.isfinite(vlb_b), vlb_b, -1.0)
+                hi = jnp.where(jnp.isfinite(vub_b), vub_b, 1.0)
+                x0_b = 0.5 * (lo + hi)
+            else:
+                x0_b = jnp.zeros((vlb_b.shape[0], n))
+        return solve_batch(A, clb, cub, vlb_b, vub_b, jnp.asarray(x0_b))
+
+    solve.dispatch = dispatch
     solve.unpack = _unpack
     return solve

@@ -554,10 +554,17 @@ def layout1d_optimum(k: int = 4, seed: int = 0) -> float:
         C = np.concatenate([[0.0], np.cumsum(w[list(perm)])[:-1]])
         b = t[list(perm)] - C
         u = _pava(b)
+        # box constraints reduce to u_0 >= 0 and u_last <= hi (monotone u
+        # makes the interior positions automatic), and the feasible set
+        # equals {nondecreasing} ∩ [0, hi]^k — whose projection is the
+        # CLIP of the unconstrained isotonic solution (exact, not a skip:
+        # skipping could silently report a value above the true optimum
+        # for (k, seed) pairs whose optimum has an active box bound)
+        hi = 24.0 - w[perm[-1]] - C[-1]
+        if hi < 0.0:
+            continue                            # widths exceed the hall
+        u = np.clip(u, 0.0, hi)
         x = u + C
-        if x[0] < -1e-9 or x[-1] + w[perm[-1]] > 24.0 + 1e-9:
-            continue                            # box active: skip (never
-            # best here by construction — targets are interior)
         val = float(np.sum((x - t[list(perm)]) ** 2))
         pos = np.empty(k, dtype=int)
         for a, i in enumerate(perm):

@@ -81,6 +81,29 @@ def test_tls4_qg_reaches_incumbent():
     assert 1.70933 - 2e-3 <= bab.lb <= 8.3 + 1e-6
 
 
+def test_tls4_cpu_root_anchor_floor():
+    """The unconditional root floor (round-5 fix for the r4 sweep
+    regression lb=1.43 < proven 1.709): a CPU f64 relaxation solve must
+    converge and anchor `_root_lb0` at the relaxation value even when
+    the device-side root stalls."""
+    from minotaur_tpu.io.nl_reader import read_nl
+    from minotaur_tpu.utils.environment import Environment
+    from minotaur_tpu.bnb.qg import QGBranchAndBound
+    p = read_nl(TLS4)
+    env = Environment()
+    env.set_option("node_batch", 8)
+    env.set_option("log_level", 1)
+    bab = QGBranchAndBound(p, env)
+    val = bab._cpu_root_anchor()
+    assert val is not None
+    assert val == pytest.approx(1.70933, abs=2e-3)
+    assert bab._root_lb0 >= 1.70933 - 3e-3
+    # eta lower bound anchored too (valid lb for every node's objective)
+    if bab.has_eta:
+        assert bab.sp.vlb[bab.sp_orig.n] >= 1.70933 - 3e-3 - \
+            bab.sp_orig.obj_const
+
+
 def test_trimloss_detection_noop_on_other_instances():
     from minotaur_tpu.io.nl_reader import read_nl
     from minotaur_tpu.bnb.trimloss import detect_trimloss
