@@ -138,6 +138,7 @@ class BranchAndBound:
                                opts.get("ipm_affine_kkt_rounds")),
                            **dt_kw))
         self._step = build_node_step(self.sp, step_opts)
+        self._step_opts = step_opts
         # QPD node processor (reference QPDProcessor.{h,cpp}, 2136 LoC):
         # nodes are processed on a PSD-projected QP model of the MINLP
         # (one batched QP superstep instead of NLP solves); prune and
@@ -197,6 +198,24 @@ class BranchAndBound:
         # slowest node lane's count anyway).  The old strbr_iter_limit
         # key is honoured as a deprecated alias when the new one is
         # untouched, so configs tuned for the reference keep working.
+        # device-resident multi-round supersteps (bnb/device_pool.py):
+        # eligible only for the certified-bound class on the TRUE staged
+        # model (no auxiliary columns, no nonlinear rows — the in-device
+        # incumbent feasibility test must equal the host's), with the
+        # plain node processor and no SOS branching
+        self._dev_pool = None
+        self._dev_pool_ok = (
+            bool(opts.get("device_tree")) and
+            type(self) is BranchAndBound and
+            self._qpd_step is None and
+            (self._is_lp_relax or self._certified_db) and
+            self.sp.obj_nl is None and not len(self.sp.nl_rows) and
+            self.sp.n == problem.n_vars and
+            bool(self.sp.int_mask.any()) and
+            not problem._sos1 and not problem._sos2 and
+            not opts.get("checkpoint_file"))
+        self._dev_warm_batches = max(1, int(opts.get(
+            "device_warm_batches")))
         self._rel_thresh = max(0, int(opts.get("rel_thresh")))
         _lane_opt = opts.find("strbr_lane_limit")
         if _lane_opt is not None and not _lane_opt.was_set:
@@ -347,6 +366,33 @@ class BranchAndBound:
                 self.status = stop
                 break
             self.tm.set_cutoff(self._cutoff())
+            # hand the tree to the device-resident runner once the warm
+            # phase (root processing, strong-branch pc init, first
+            # incumbents) is done: T B&B rounds then execute per device
+            # dispatch instead of one (VERDICT r4 #1 — the per-batch
+            # host round-trip was the binding constraint on nodes/s)
+            if self._dev_pool_ok and len(self.tm) >= self._batch and \
+                    self.stats.batches >= self._dev_warm_batches and \
+                    (self.ub < _INF or
+                     self.stats.batches >= 4 * self._dev_warm_batches):
+                if pending is not None:
+                    next_id = self._finish_batch(pending, next_id)
+                    pending = None
+                    self._inflight_nodes = []
+                if self._dev_pool is None:
+                    from .device_pool import DevicePoolRunner
+                    opts = self.env.options
+                    self._dev_pool = DevicePoolRunner(
+                        self, cap=int(opts.get("device_pool_cap")),
+                        batch=self._batch,
+                        rounds=int(opts.get("device_rounds")))
+                self._dev_pool.run(t0)
+                next_id = max((nd.nid for nd in self.tm.iter_nodes()),
+                              default=next_id - 1) + 1
+                if self.status not in (SolveStatus.STARTED,
+                                       SolveStatus.NOT_STARTED):
+                    break
+                continue
             cur = None
             if len(self.tm):
                 t_d0 = time.monotonic()

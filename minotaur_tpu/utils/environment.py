@@ -149,6 +149,18 @@ def _create_default_options(db: OptionDB) -> None:
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
         "bucket; padding is nearly free on latency-bound TPU supersteps)",
         False)
+    ins("device_tree", bool, "device-resident multi-round supersteps: "
+        "keep the open-node pool in device memory and run device_rounds "
+        "complete B&B rounds (select/solve/prune/branch/insert) per "
+        "dispatch; eligible for certified-bound LP/QP models with the "
+        "plain node processor (bnb/device_pool.py)", True)
+    ins("device_rounds", int, "B&B rounds executed per device dispatch "
+        "in device_tree mode", 8)
+    ins("device_pool_cap", int, "device node-pool capacity (slots); the "
+        "host tree absorbs overflow", 4096)
+    ins("device_warm_batches", int, "host-driven supersteps before "
+        "entering device_tree mode (root processing, strong-branch "
+        "pseudocost init, first incumbents)", 4)
     ins("dtype", str, "IPM dtype policy: mixed (f32 factorizations + f64 "
         "block corrections, the TPU-tuned default) / f32 (all-f32 "
         "iteration arithmetic) / f64 (full f64 factorizations)", "mixed")
