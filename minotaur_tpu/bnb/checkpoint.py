@@ -54,6 +54,11 @@ def save_checkpoint(path: str, bab) -> None:
         if hasattr(bab, "stats") else 0,
         vlb=vlb, vub=vub, lbs=lbs, depths=depths, nids=nids, warm=warm,
         **extra)
+    # np.savez appends ".npz" to extension-less paths, which would break
+    # resume (the driver looks for checkpoint_file verbatim)
+    import os
+    if not str(path).endswith(".npz") and os.path.exists(f"{path}.npz"):
+        os.replace(f"{path}.npz", path)
 
 
 def load_checkpoint(path: str, bab) -> None:

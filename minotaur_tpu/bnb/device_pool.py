@@ -60,14 +60,19 @@ _INF = float("inf")
 #  6 bvar  (C,)     i32 var this node was branched on (-1 root)
 #  7 bdir  (C,)     i32 0=down 1=up
 #  8 bfrac (C,)     f64 fractional distance of the branch
-#  9 used  (C,)     bool slot occupancy
-# 10 pc_su (n,)     pseudocost up-gain sums
-# 11 pc_cu (n,)     pseudocost up counts
-# 12 pc_sd (n,)     pseudocost down-gain sums
-# 13 pc_cd (n,)     pseudocost down counts
-# 14 best_val ()    best device-accepted candidate value
-# 15 best_x  (n,)   its point
-# 16 scal  (8,)     [unres_lb, unres_cnt, processed, created,
+#  9 pit   (C,)     f64 parent-lane IPM iteration count (difficulty
+#                   estimate; the host tree uses Node.pred_iters to
+#                   compose iteration-homogeneous batches — a vmapped
+#                   superstep runs at its slowest lane's count, so the
+#                   device selection must too)
+# 10 used  (C,)     bool slot occupancy
+# 11 pc_su (n,)     pseudocost up-gain sums
+# 12 pc_cu (n,)     pseudocost up counts
+# 13 pc_sd (n,)     pseudocost down-gain sums
+# 14 pc_cd (n,)     pseudocost down counts
+# 15 best_val ()    best device-accepted candidate value
+# 16 best_x  (n,)   its point
+# 17 scal  (8,)     [unres_lb, unres_cnt, processed, created,
 #                    pruned_bound, pruned_infeas, closed_opt, iters]
 
 
@@ -130,7 +135,7 @@ class DevicePoolRunner:
             return v
 
         def one_round(A, clb, cub, cutoff_host, st, devrisk):
-            (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, used,
+            (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit, used,
              pc_su, pc_cu, pc_sd, pc_cd, best_val, best_x, scal) = st
             unres_lb = scal[0]
             cut_cand = best_val - jnp.minimum(abs_tol,
@@ -153,7 +158,17 @@ class DevicePoolRunner:
             key_best = jnp.where(used, lb, INF)
             key_dive = jnp.where(used, -depth, INF)
             key = jnp.where(occ > dive_hi, key_dive, key_best)
-            _, idx = jax.lax.top_k(-key, B)
+            # two-stage selection: 4B candidates by priority, then the B
+            # with the SMALLEST iteration estimates among them (batch
+            # homogeneity: the vmapped solve runs at the slowest lane's
+            # iteration count; CLAUDE.md's B=128 measurement).  The top
+            # priority candidate is always included so the global lb
+            # can never starve behind hard nodes.
+            _, idx4 = jax.lax.top_k(-key, min(4 * B, C))
+            pitc = jnp.where(used[idx4], pit[idx4], INF)
+            pitc = pitc.at[0].set(-1.0)
+            _, sel = jax.lax.top_k(-pitc, B)
+            idx = idx4[sel]
             act = used[idx]
             # inactive lanes get a trivial fixed box (solves in O(1)
             # iterations; all their effects are masked)
@@ -341,6 +356,8 @@ class DevicePoolRunner:
             bvar = bvar.at[slot].set(c_bv)
             bdir = bdir.at[slot].set(c_bd)
             bfrac = bfrac.at[slot].set(c_bf)
+            pit = pit.at[slot].set(jnp.repeat(
+                res.iters.astype(jnp.float64), 2))
             used = used.at[slot].set(True)
 
             scal = scal.at[0].set(unres_lb)
@@ -351,8 +368,9 @@ class DevicePoolRunner:
             scal = scal.at[5].add(p_inf.sum())
             scal = scal.at[6].add(closed.sum())
             scal = scal.at[7].add(jnp.where(act, res.iters, 0).sum())
-            st = (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, used,
-                  pc_su, pc_cu, pc_sd, pc_cd, best_val, best_x, scal)
+            st = (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit,
+                  used, pc_su, pc_cu, pc_sd, pc_cd, best_val, best_x,
+                  scal)
             # best finite relaxation point of the round (host-side
             # rounding heuristics at sync)
             hval = jnp.where(act & jnp.all(jnp.isfinite(xs), axis=1) &
@@ -366,9 +384,15 @@ class DevicePoolRunner:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def multiround(A, clb, cub, state, cutoff_host):
+            # per-call counters: the scal block accumulates WITHIN one
+            # multiround call and the host adds the deltas at each sync
+            # (carrying totals across calls double-counted every sync)
+            state = state[:17] + (
+                state[17].at[1:].set(0.0).at[0].set(jnp.inf),)
+
             def cond(carry):
                 st, r, devrisk, hx = carry
-                used = st[9]
+                used = st[10]
                 free = C - used.sum()
                 return (r < T) & used.any() & (free >= 2 * B)
 
@@ -382,26 +406,26 @@ class DevicePoolRunner:
             st, rounds, devrisk, hx = jax.lax.while_loop(
                 cond, body, (state, jnp.asarray(0), jnp.asarray(INF),
                              hx0))
-            used = st[9]
+            used = st[10]
             lbmin = jnp.where(used, st[4], INF).min()
             summary = jnp.concatenate([
                 jnp.stack([
                     rounds.astype(jnp.float64),
                     used.sum().astype(jnp.float64),
-                    lbmin, st[14], devrisk,
-                    st[16][0], st[16][1], st[16][2], st[16][3],
-                    st[16][4], st[16][5], st[16][7]]),
-                st[15], hx, st[10], st[11], st[12], st[13]])
+                    lbmin, st[15], devrisk,
+                    st[17][0], st[17][1], st[17][2], st[17][3],
+                    st[17][4], st[17][5], st[17][7]]),
+                st[16], hx, st[11], st[12], st[13], st[14]])
             return st, summary
 
         @jax.jit
         def pack_pool(state):
-            (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, used,
+            (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit, used,
              *_rest) = state
             cols = [vlb, vub, wx, wy, lb[:, None], depth[:, None],
                     bvar.astype(jnp.float64)[:, None],
                     bdir.astype(jnp.float64)[:, None], bfrac[:, None],
-                    used.astype(jnp.float64)[:, None]]
+                    pit[:, None], used.astype(jnp.float64)[:, None]]
             return jnp.concatenate(cols, axis=1)
 
         return multiround, pack_pool
@@ -421,6 +445,7 @@ class DevicePoolRunner:
         bvar = np.full(C, -1, dtype=np.int32)
         bdir = np.zeros(C, dtype=np.int32)
         bfrac = np.zeros(C)
+        pit = np.zeros(C)
         used = np.zeros(C, dtype=bool)
         cold = bab._lane_starts(nodes[:k])
         cold_y = bab._lane_duals(nodes[:k])
@@ -434,6 +459,7 @@ class DevicePoolRunner:
             bvar[i] = nd.branch_var
             bdir[i] = 1 if nd.branch_dir else 0
             bfrac[i] = nd.branch_frac
+            pit[i] = float(nd.pred_iters)
             used[i] = True
         pc_su = bab._pc_up * np.maximum(bab._pc_up_cnt, 0)
         pc_cu = bab._pc_up_cnt.astype(np.float64)
@@ -441,7 +467,7 @@ class DevicePoolRunner:
         pc_cd = bab._pc_down_cnt.astype(np.float64)
         scal = np.array([_INF, 0, 0, 0, 0, 0, 0, 0], dtype=np.float64)
         return tuple(jnp.asarray(a) for a in (
-            vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, used,
+            vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit, used,
             pc_su, pc_cu, pc_sd, pc_cd,
             np.float64(_INF), np.zeros(n), scal))
 
@@ -460,7 +486,8 @@ class DevicePoolRunner:
         bvar = arr[:, o + 2].astype(np.int32)
         bdir = arr[:, o + 3].astype(np.int32)
         bfrac = arr[:, o + 4]
-        used = arr[:, o + 5] > 0.5
+        pit = arr[:, o + 5]
+        used = arr[:, o + 6] > 0.5
         idx = np.where(used)[0]
         idx = idx[np.argsort(lb[idx])]
         nid0 = max((nd.nid for nd in bab.tm.iter_nodes()), default=0) + 1
@@ -471,7 +498,8 @@ class DevicePoolRunner:
                       vub=vub[i].copy(), warm_x=wx[i].copy(),
                       warm_y=wy[i].copy(), branch_var=int(bvar[i]),
                       branch_dir=int(bdir[i]),
-                      branch_frac=float(bfrac[i]))
+                      branch_frac=float(bfrac[i]),
+                      pred_iters=int(pit[i]))
             nodes.append(nd)
         kept = nodes[:keep]
         for nd in nodes[keep:]:
@@ -543,8 +571,9 @@ class DevicePoolRunner:
                     bab.unresolved_lb = min(bab.unresolved_lb,
                                             float(devrisk))
             # occasional host-side rounding on the best relaxation point
-            if bab.sp.int_mask.any() and np.all(np.isfinite(heur_x)) and \
-                    (bab.ub >= _INF or bab.stats.batches % 4 == 0):
+            # every sync: syncs are T rounds apart, so this is ~T-times
+            # rarer than the host loop's every-8th-batch cadence already
+            if bab.sp.int_mask.any() and np.all(np.isfinite(heur_x)):
                 bab._try_round_incumbent(heur_x, bab.sp.vlb, bab.sp.vub)
             # global lb across pool + host tree + unresolved cap
             open_lb = min(float(pool_lb), bab.tm.best_lb(),

