@@ -60,8 +60,26 @@ class BranchAndBound:
     def __init__(self, problem: Problem, env: Optional[Environment] = None,
                  staged: Optional[StagedProblem] = None):
         self.env = env or Environment()
-        self.problem = problem
+        self.problem_original = problem
+        self.postsolve = None
         opts = self.env.options
+        if staged is None and opts.get("presolve_subst"):
+            # root substitution/elimination presolve (reference:
+            # LinearHandler::substVars_ LinearHandler.cpp:1429 +
+            # Presolver::getPostSol :288) — runs ONCE before staging, so
+            # the eliminated columns shrink every device program and can
+            # never trigger a recompile
+            from .substitute import substitute_problem
+            red = substitute_problem(
+                problem, int_tol=float(opts.get("int_tol")))
+            if red is not None:
+                problem, self.postsolve = red
+                self.env.logger.info(
+                    f"presolve: substitution eliminated "
+                    f"{self.postsolve.n_eliminated} columns "
+                    f"(n {self.postsolve.n_orig} -> {problem.n_vars}); "
+                    f"postsolve map recorded")
+        self.problem = problem
         if staged is None and opts.get("nl_presolve"):
             # structure-rewriting nonlinear presolve (must run BEFORE
             # staging): big-M sum-of-squares rows tighten to their
@@ -239,6 +257,16 @@ class BranchAndBound:
                 self.env.logger.debug(f"native treestore unavailable "
                                       f"({e}); using python heap")
         return TreeManager(order, vbc_stream=vbc)
+
+    @property
+    def best_x_original(self) -> Optional[np.ndarray]:
+        """Incumbent lifted to the ORIGINAL variable space (postsolve
+        replay of the substitution records; reference getPostSol)."""
+        if self.best_x is None:
+            return None
+        if self.postsolve is None:
+            return self.best_x
+        return self.postsolve.lift(self.best_x)
 
     def _gap(self) -> float:
         if self.ub >= _INF:

@@ -30,10 +30,17 @@ class Bnb(Solver):
                     f"bin2lin: exact MIQP->MILP reformulation "
                     f"({problem.n_vars - n_orig} product auxiliaries); "
                     "tree runs on LP relaxations")
+        o = self.env.options.find("presolve_subst")
+        if o is not None and not o.was_set:
+            # the solver entry point defaults the substitution presolve
+            # ON (reference Presolver default); library users opt in
+            self.env.set_option("presolve_subst", 1)
         bab = BranchAndBound(problem, env=self.env)
         status = bab.solve()
-        if bab.best_x is not None and len(bab.best_x) > n_orig:
-            bab.best_x = bab.best_x[:n_orig]
+        if bab.best_x is not None:
+            bab.best_x = bab.best_x_original    # postsolve lift
+            if len(bab.best_x) > n_orig:
+                bab.best_x = bab.best_x[:n_orig]
         log.info(f"nodes processed: {bab.stats.nodes_processed}  "
                  f"created: {bab.stats.nodes_created}  "
                  f"batches: {bab.stats.batches}  "

@@ -149,6 +149,11 @@ def _create_default_options(db: OptionDB) -> None:
     ins("pad_full", bool, "always pad batches to node_batch (one compiled "
         "bucket; padding is nearly free on latency-bound TPU supersteps)",
         False)
+    ins("presolve_subst", bool, "root substitution presolve: eliminate "
+        "fixed columns and singleton/doubleton-equality variables before "
+        "staging, with a postsolve map back to the original space "
+        "(reference LinearHandler::substVars_; see "
+        "BranchAndBound.best_x_original)", False)
     ins("device_tree", bool, "device-resident multi-round supersteps: "
         "keep the open-node pool in device memory and run device_rounds "
         "complete B&B rounds (select/solve/prune/branch/insert) per "
