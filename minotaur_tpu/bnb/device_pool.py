@@ -134,7 +134,7 @@ class DevicePoolRunner:
                 v = v + xr @ (Qsym @ xr)
             return v
 
-        def one_round(A, clb, cub, cutoff_host, st, devrisk):
+        def one_round(A, clb, cub, cutoff_host, st, devrisk, hval, hx):
             (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit, used,
              pc_su, pc_cu, pc_sd, pc_cd, best_val, best_x, scal) = st
             unres_lb = scal[0]
@@ -152,23 +152,19 @@ class DevicePoolRunner:
             n_bulk = kill.sum()
             used = used & ~kill
 
-            # ---- selection: best-first normally, deepest-first under
-            # pool pressure (dives close leaves and shrink the pool)
+            # ---- selection: best-then-dive (the host tree's BthenD key
+            # (lb, -depth) — best bound first, DEEPER as tie-break so
+            # just-created sibling children batch together with their
+            # shared warm starts; an easy-first pred_iters policy was
+            # measured 2.5x WORSE on the v5e, see tree.py::pop_batch).
+            # Under pool pressure switch to pure deepest-first (dives
+            # close leaves and shrink the pool).
             occ = used.sum()
-            key_best = jnp.where(used, lb, INF)
+            bias = 1.5e-6 * (1.0 + jnp.abs(lb))
+            key_best = jnp.where(used, lb - bias * depth, INF)
             key_dive = jnp.where(used, -depth, INF)
             key = jnp.where(occ > dive_hi, key_dive, key_best)
-            # two-stage selection: 4B candidates by priority, then the B
-            # with the SMALLEST iteration estimates among them (batch
-            # homogeneity: the vmapped solve runs at the slowest lane's
-            # iteration count; CLAUDE.md's B=128 measurement).  The top
-            # priority candidate is always included so the global lb
-            # can never starve behind hard nodes.
-            _, idx4 = jax.lax.top_k(-key, min(4 * B, C))
-            pitc = jnp.where(used[idx4], pit[idx4], INF)
-            pitc = pitc.at[0].set(-1.0)
-            _, sel = jax.lax.top_k(-pitc, B)
-            idx = idx4[sel]
+            _, idx = jax.lax.top_k(-key, B)
             act = used[idx]
             # inactive lanes get a trivial fixed box (solves in O(1)
             # iterations; all their effects are masked)
@@ -371,14 +367,17 @@ class DevicePoolRunner:
             st = (vlb, vub, wx, wy, lb, depth, bvar, bdir, bfrac, pit,
                   used, pc_su, pc_cu, pc_sd, pc_cd, best_val, best_x,
                   scal)
-            # best finite relaxation point of the round (host-side
-            # rounding heuristics at sync)
-            hval = jnp.where(act & jnp.all(jnp.isfinite(xs), axis=1) &
-                             (status != int(
-                                 EngineStatus.SOLVED_INFEASIBLE)),
-                             res.obj, INF)
-            hx = xs[jnp.argmin(hval)]
-            return st, devrisk, hx
+            # best finite relaxation point ACROSS the call's rounds
+            # (host-side rounding heuristics at sync)
+            rv = jnp.where(act & jnp.all(jnp.isfinite(xs), axis=1) &
+                           (status != int(
+                               EngineStatus.SOLVED_INFEASIBLE)),
+                           res.obj, INF)
+            bi2 = jnp.argmin(rv)
+            hbetter = rv[bi2] < hval
+            hx = jnp.where(hbetter, xs[bi2], hx)
+            hval = jnp.where(hbetter, rv[bi2], hval)
+            return st, devrisk, hval, hx
 
         import functools
 
@@ -391,21 +390,21 @@ class DevicePoolRunner:
                 state[17].at[1:].set(0.0).at[0].set(jnp.inf),)
 
             def cond(carry):
-                st, r, devrisk, hx = carry
+                st, r, devrisk, hval, hx = carry
                 used = st[10]
                 free = C - used.sum()
                 return (r < T) & used.any() & (free >= 2 * B)
 
             def body(carry):
-                st, r, devrisk, hx = carry
-                st, devrisk, hx = one_round(A, clb, cub, cutoff_host, st,
-                                            devrisk)
-                return st, r + 1, devrisk, hx
+                st, r, devrisk, hval, hx = carry
+                st, devrisk, hval, hx = one_round(
+                    A, clb, cub, cutoff_host, st, devrisk, hval, hx)
+                return st, r + 1, devrisk, hval, hx
 
             hx0 = jnp.zeros(n)
-            st, rounds, devrisk, hx = jax.lax.while_loop(
+            st, rounds, devrisk, _hval, hx = jax.lax.while_loop(
                 cond, body, (state, jnp.asarray(0), jnp.asarray(INF),
-                             hx0))
+                             jnp.asarray(INF), hx0))
             used = st[10]
             lbmin = jnp.where(used, st[4], INF).min()
             summary = jnp.concatenate([
@@ -508,102 +507,57 @@ class DevicePoolRunner:
 
     def run(self, t0: float) -> None:
         """Main device-resident loop; returns when the search is done or
-        a stop/congestion condition hands control back to the host."""
-        import jax.numpy as jnp
+        a stop/congestion condition hands control back to the host.
+
+        The loop keeps TWO multiround calls in flight (dispatch k+1 is
+        enqueued before summary k is fetched), so the summary's d2h
+        latency and all host bookkeeping overlap device execution — the
+        same overlap trick as the host driver's bnb_pipeline.  The
+        cutoff a dispatch carries is stale by <=2 syncs, which is sound
+        (cutoffs only ever tighten; the in-device candidate cutoff
+        covers fresh incumbents immediately)."""
         bab = self.bab
-        n, C, B, T = self._n, self.C, self.B, self.T
+        C, B, T = self.C, self.B, self.T
         A, clb, cub = bab._device_consts()
         # fill the pool with the best nodes (migration, not processing)
         nodes = bab.tm.pop_best_nodes(C // 2)
         if not nodes:
             return
         state = self._init_state(nodes)
-        t_sync = time.monotonic()
+        self._t_sync = time.monotonic()
+        pend = None
         while True:
             t_d0 = time.monotonic()
             state, summ_dev = self._multiround(
                 A, clb, cub, state, np.float64(bab._cutoff()))
-            summ = np.asarray(summ_dev)          # the ONE d2h transfer
-            bab.stats.t_device += time.monotonic() - t_d0
-            t_h0 = time.monotonic()
-            (rounds, pool_used, pool_lb, best_val, devrisk, unres_lb,
-             unres_cnt, processed, created, pr_bnd, pr_inf,
-             iters) = summ[:12]
-            best_x = summ[12:12 + n]
-            heur_x = summ[12 + n:12 + 2 * n]
-            o = 12 + 2 * n
-            pc_su = summ[o:o + n]
-            pc_cu = summ[o + n:o + 2 * n]
-            pc_sd = summ[o + 2 * n:o + 3 * n]
-            pc_cd = summ[o + 3 * n:o + 4 * n]
-            bab.stats.batches += 1
-            bab.stats.solves += int(processed)
-            bab.stats.ipm_iters += int(iters)
-            bab.tm.nodes_processed += int(processed)
-            bab.tm.nodes_created += int(created)
-            bab.stats.nodes_processed = bab.tm.nodes_processed
-            bab.stats.nodes_created = bab.tm.nodes_created
-            bab.stats.unresolved += int(unres_cnt)
-            bab.unresolved_lb = min(bab.unresolved_lb, float(unres_lb))
-            # host pc arrays track the device values (avg = sum/count)
-            with np.errstate(invalid="ignore"):
-                bab._pc_up = np.where(pc_cu > 0, pc_su /
-                                      np.maximum(pc_cu, 1), 0.0)
-                bab._pc_down = np.where(pc_cd > 0, pc_sd /
-                                        np.maximum(pc_cd, 1), 0.0)
-            bab._pc_up_cnt = pc_cu.astype(np.int64)
-            bab._pc_down_cnt = pc_cd.astype(np.int64)
-            # candidate verification on the TRUE problem (sync boundary)
-            if np.isfinite(best_val) and best_val < bab.ub - 1e-12:
-                xb = best_x[:bab.problem.n_vars]
-                if bab.problem.is_feasible(
-                        xb, atol=max(bab._feas_atol, 1e-5),
-                        int_tol=bab._int_tol,
-                        rtol=max(bab._feas_rtol, 1e-5)):
-                    bab._accept_incumbent(
-                        xb.copy(), float(bab.problem.eval_objective(xb)))
-                else:
-                    # cannot happen for staged-1:1 LP/QP models (device
-                    # test is 2x stricter); forfeit optimality soundly
-                    self._log.info(
-                        "device incumbent REJECTED by host verification"
-                        " — capping lb at devrisk (sound fallback)")
-                    bab.unresolved_lb = min(bab.unresolved_lb,
-                                            float(devrisk))
-            # occasional host-side rounding on the best relaxation point
-            # every sync: syncs are T rounds apart, so this is ~T-times
-            # rarer than the host loop's every-8th-batch cadence already
-            if bab.sp.int_mask.any() and np.all(np.isfinite(heur_x)):
-                bab._try_round_incumbent(heur_x, bab.sp.vlb, bab.sp.vub)
-            # global lb across pool + host tree + unresolved cap
-            open_lb = min(float(pool_lb), bab.tm.best_lb(),
-                          bab.unresolved_lb)
-            bab.lb = min(open_lb, bab.ub)
-            bab.stats.t_host += time.monotonic() - t_h0
-
-            now = time.monotonic()
-            if now - t_sync >= bab._log_interval:
-                t_sync = now
-                self._log.info(
-                    f"  {now - t0:8.1f}s  nodes "
-                    f"{bab.stats.nodes_processed:8d} "
-                    f"pool {int(pool_used):5d} open {len(bab.tm):6d}  "
-                    f"lb {bab.lb:.8g}  ub {bab.ub:.8g}  gap "
-                    f"{bab._gap() * 100:.4g}%  [device rounds "
-                    f"{int(rounds)}]")
-
+            info = None
+            if pend is not None:
+                info = self._process_summary(np.asarray(pend[0]), t0,
+                                             pend[1])
+            pend = (summ_dev, t_d0)
+            if info is None:
+                continue                    # fill the 2-deep pipeline
+            stop = bab._should_stop(t0)
+            congested = info["rounds"] < T and \
+                C - info["pool_used"] < 2 * B
+            if stop is None and info["pool_used"] > 0 and not congested:
+                continue
+            # terminal-ish condition: flush the in-flight call, re-check
+            info = self._process_summary(np.asarray(pend[0]), t0,
+                                         pend[1])
+            pend = None
             stop = bab._should_stop(t0)
             if stop is not None:
                 bab.status = stop
                 self._drain_to_host(state)
                 return
-            if pool_used == 0:
+            if info["pool_used"] == 0:
                 if len(bab.tm):
                     nodes = bab.tm.pop_best_nodes(C // 2)
                     state = self._init_state(nodes)
                     continue
                 return                      # search exhausted
-            if int(rounds) < T and C - int(pool_used) < 2 * B:
+            if info["rounds"] < T and C - info["pool_used"] < 2 * B:
                 # congestion: spill the worst half to the host tree and
                 # keep diving on the best half
                 kept = self._drain_to_host(state, keep=C // 2)
@@ -611,3 +565,77 @@ class DevicePoolRunner:
                 if not kept:
                     return
                 state = self._init_state(kept)
+
+    def _process_summary(self, summ: np.ndarray, t0: float,
+                         t_disp: float) -> dict:
+        """All host bookkeeping for one multiround summary: stats,
+        pseudocost sync, incumbent verification, rounding heuristic,
+        global lb, progress log."""
+        bab = self.bab
+        n = self._n
+        bab.stats.t_device += time.monotonic() - t_disp
+        t_h0 = time.monotonic()
+        (rounds, pool_used, pool_lb, best_val, devrisk, unres_lb,
+         unres_cnt, processed, created, pr_bnd, pr_inf,
+         iters) = summ[:12]
+        best_x = summ[12:12 + n]
+        heur_x = summ[12 + n:12 + 2 * n]
+        o = 12 + 2 * n
+        pc_su = summ[o:o + n]
+        pc_cu = summ[o + n:o + 2 * n]
+        pc_sd = summ[o + 2 * n:o + 3 * n]
+        pc_cd = summ[o + 3 * n:o + 4 * n]
+        bab.stats.batches += 1
+        bab.stats.solves += int(processed)
+        bab.stats.ipm_iters += int(iters)
+        bab.tm.nodes_processed += int(processed)
+        bab.tm.nodes_created += int(created)
+        bab.stats.nodes_processed = bab.tm.nodes_processed
+        bab.stats.nodes_created = bab.tm.nodes_created
+        bab.stats.unresolved += int(unres_cnt)
+        bab.unresolved_lb = min(bab.unresolved_lb, float(unres_lb))
+        # host pc arrays track the device values (avg = sum/count)
+        with np.errstate(invalid="ignore"):
+            bab._pc_up = np.where(pc_cu > 0, pc_su /
+                                  np.maximum(pc_cu, 1), 0.0)
+            bab._pc_down = np.where(pc_cd > 0, pc_sd /
+                                    np.maximum(pc_cd, 1), 0.0)
+        bab._pc_up_cnt = pc_cu.astype(np.int64)
+        bab._pc_down_cnt = pc_cd.astype(np.int64)
+        # candidate verification on the TRUE problem (sync boundary)
+        if np.isfinite(best_val) and best_val < bab.ub - 1e-12:
+            xb = best_x[:bab.problem.n_vars]
+            if bab.problem.is_feasible(
+                    xb, atol=max(bab._feas_atol, 1e-5),
+                    int_tol=bab._int_tol,
+                    rtol=max(bab._feas_rtol, 1e-5)):
+                bab._accept_incumbent(
+                    xb.copy(), float(bab.problem.eval_objective(xb)))
+            else:
+                # cannot happen for staged-1:1 LP/QP models (device
+                # test is 2x stricter); forfeit optimality soundly
+                self._log.info(
+                    "device incumbent REJECTED by host verification"
+                    " — capping lb at devrisk (sound fallback)")
+                bab.unresolved_lb = min(bab.unresolved_lb,
+                                        float(devrisk))
+        # host-side rounding on the best relaxation point of the call
+        if bab.sp.int_mask.any() and np.all(np.isfinite(heur_x)):
+            bab._try_round_incumbent(heur_x, bab.sp.vlb, bab.sp.vub)
+        # global lb across pool + host tree + unresolved cap
+        open_lb = min(float(pool_lb), bab.tm.best_lb(),
+                      bab.unresolved_lb)
+        bab.lb = min(open_lb, bab.ub)
+        bab.stats.t_host += time.monotonic() - t_h0
+
+        now = time.monotonic()
+        if now - self._t_sync >= bab._log_interval:
+            self._t_sync = now
+            self._log.info(
+                f"  {now - t0:8.1f}s  nodes "
+                f"{bab.stats.nodes_processed:8d} "
+                f"pool {int(pool_used):5d} open {len(bab.tm):6d}  "
+                f"lb {bab.lb:.8g}  ub {bab.ub:.8g}  gap "
+                f"{bab._gap() * 100:.4g}%  [device rounds "
+                f"{int(rounds)}]")
+        return dict(rounds=int(rounds), pool_used=int(pool_used))
