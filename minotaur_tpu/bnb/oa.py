@@ -34,6 +34,7 @@ class OAStats:
     milp_nodes: int = 0
     nlp_solves: int = 0
     cuts_added: int = 0
+    mip_starts: int = 0
 
 
 class OABranchAndBound(QGBranchAndBound):
@@ -93,8 +94,22 @@ class OABranchAndBound(QGBranchAndBound):
             if self.ub < _INF and \
                     master_bab.ub >= self.ub - self._abs_tol - \
                     self._rel_tol * ref:
-                self.lb = max(self.lb, min(master_bab.ub, self.ub))
-                self.status = SolveStatus.SOLVED_OPTIMAL
+                # master found nothing better than the (MIP-started)
+                # incumbent.  That proves optimality ONLY if the master
+                # tree was exhausted; a time/node-limited master that
+                # merely failed to improve is a limit outcome (claiming
+                # OPTIMAL would be unsound — the gap stays open).
+                if mstatus in (SolveStatus.SOLVED_OPTIMAL,
+                               SolveStatus.SOLVED_INFEASIBLE):
+                    self.lb = max(self.lb, min(master_bab.ub, self.ub))
+                    self.status = SolveStatus.SOLVED_OPTIMAL
+                else:
+                    self.unresolved_lb = min(self.unresolved_lb,
+                                             master_bab.lb)
+                    self.status = mstatus if mstatus in (
+                        SolveStatus.SOLVED_TIME_LIMIT,
+                        SolveStatus.SOLVED_NODE_LIMIT) \
+                        else SolveStatus.SOLVED_GAP_LIMIT
                 break
 
             # --- fixed-integer NLP at the master solution ----------------
@@ -155,6 +170,21 @@ class _MasterMILP(BranchAndBound):
                                float(opts.get("oa_master_time_frac")))
         self._node_limit = min(self._node_limit,
                                int(opts.get("oa_master_node_limit")))
+        # MIP-start injection (reference: CplexMILPEngine MIP starts,
+        # CplexMILPEngine.cpp:688-1341 / OA's master warm start): the
+        # OA incumbent, lifted into master space (eta = its true
+        # objective), enters the master as a KNOWN feasible solution —
+        # the cutoff is then backed by a point, so the master returns
+        # it when nothing better exists instead of reporting empty.
+        if oa.best_x is not None and np.isfinite(oa.ub):
+            n_m = oa.sp.n
+            xm = np.zeros(n_m)
+            k = min(len(oa.best_x), n_m)
+            xm[:k] = oa.best_x[:k]
+            if oa.has_eta:
+                xm[oa.sp_orig.n] = oa.ub - oa.sp_orig.obj_const
+            self.best_x = xm
+            oa.oa_stats.mip_starts += 1
 
     def _run_step(self, vlb_b, vub_b, x0_b, y0_b=None):
         import numpy as np
