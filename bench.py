@@ -95,6 +95,10 @@ def main():
     env.set_option("ipm_chol_retry", 0)
     env.set_option("bnb_node_limit", NODE_LIMIT)
     env.set_option("bnb_time_limit", TIME_LIMIT)
+    # device-resident rounds: a pool comfortably above the open-list
+    # peak avoids congestion drain/refill cycles (each moves ~100 MB
+    # through the ~20-45 MB/s tunnel); n=300 slots are ~12 KB each
+    env.set_option("device_pool_cap", 16384)
     env.set_option("log_level", 1)
 
     bab = BranchAndBound(p, env)
@@ -122,7 +126,8 @@ def main():
     nps = nodes / dt
     log(f"bench: instance={os.path.basename(INSTANCE)} status={bab.status.name} "
         f"nodes={nodes} time={dt:.1f}s ub={bab.ub:.6g} lb={bab.lb:.6g} "
-        f"batches={bab.stats.batches} total_wall={time.monotonic()-t_start:.1f}s")
+        f"batches={bab.stats.batches} rebalances={bab.stats.rebalances} "
+        f"total_wall={time.monotonic()-t_start:.1f}s")
     # NOTE: dispatch/fetch windows OVERLAP host work under the pipelined
     # driver, so these are occupancy accumulators (can exceed 100% of
     # wall), not an additive profile

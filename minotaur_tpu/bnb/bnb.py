@@ -231,7 +231,9 @@ class BranchAndBound:
             self.sp.n == problem.n_vars and
             bool(self.sp.int_mask.any()) and
             not problem._sos1 and not problem._sos2 and
-            not opts.get("checkpoint_file"))
+            not opts.get("checkpoint_file") and
+            # exact strong branching needs the host probe superstep
+            str(opts.get("brancher")) != "strong")
         self._dev_warm_batches = max(1, int(opts.get(
             "device_warm_batches")))
         self._rel_thresh = max(0, int(opts.get("rel_thresh")))
@@ -725,6 +727,19 @@ class BranchAndBound:
                 f"{len(batch)}")
         if seen is None:
             seen = set()
+        # first-class exact strong branching (brancher=strong): ONE
+        # batched probe superstep solves the down/up children of the
+        # top-K fractional candidates of every branching lane in this
+        # batch; selection then uses ACTUAL certified child bound gains
+        # (reference: ReliabilityBrancher::strongBranch_ solves them
+        # serially with an iteration-limited engine,
+        # ReliabilityBrancher.cpp:469 — here all 2K·B probes ride one
+        # vmapped call)
+        self._strong_gains = {}
+        if self._brancher == "strong" and self.sp.int_mask.any():
+            self._strong_branch_batch(batch, status, db, int_feas,
+                                      res.frac if hasattr(res, "frac")
+                                      else None, xs, nvlb, nvub, ys)
         # periodic in-tree rounding: every batch while no incumbent
         # exists, every 8th afterwards — one host-side repair+local-search
         # pass on the batch's best finite relaxation point (reference:
@@ -1272,6 +1287,93 @@ class BranchAndBound:
                     self._pc_up[j] = gain
                     self._pc_up_cnt[j] = 1
 
+    def _strong_branch_batch(self, batch, status, db, int_feas, frac_b,
+                             xs, nvlb, nvub, ys) -> None:
+        """Exact strong branching for one batch: build the 2K child
+        boxes of each branching lane's top-K fractional candidates and
+        solve them in ONE extra superstep; fills `self._strong_gains`
+        (id(node) -> {j: score}) for `_select_branch_var`, and feeds
+        the observed gains into the pseudocosts (free reliability
+        data).  Probe bounds are used for branching scores only — never
+        pruning — so unconverged probes are still useful."""
+        if frac_b is None:
+            return
+        K = max(1, int(self.env.options.get("rel_cands")))
+        cutoff = self._cutoff()
+        plan = []                      # (node, parent_db, [(j, f)])
+        seen_ids = set()
+        for i, node in enumerate(batch):
+            if id(node) in seen_ids:
+                continue
+            seen_ids.add(id(node))
+            if status[i] == EngineStatus.SOLVED_INFEASIBLE or \
+                    bool(int_feas[i]) or db[i] >= min(cutoff, 1e15):
+                continue
+            fr = np.where(nvub[i] - nvlb[i] > 1e-9, frac_b[i], 0.0)
+            cand = np.where(fr > self._int_tol)[0]
+            if len(cand) <= 1:
+                continue
+            top = cand[np.argsort(-fr[cand])[:K]]
+            parent = float(db[i]) if db[i] > -_INF else float(node.lb)
+            plan.append((node, parent, i,
+                         [(int(j), float(xs[i, j])) for j in top]))
+        if not plan:
+            return
+        boxes_lo, boxes_hi, x0s, y0s, tags = [], [], [], [], []
+        for node, parent, i, cands in plan:
+            for j, xv in cands:
+                lo = math.floor(xv)
+                dn_hi = nvub[i].copy()
+                dn_hi[j] = lo
+                up_lo = nvlb[i].copy()
+                up_lo[j] = lo + 1
+                boxes_lo.extend([nvlb[i].copy(), up_lo])
+                boxes_hi.extend([dn_hi, nvub[i].copy()])
+                x0s.extend([xs[i].copy(), xs[i].copy()])
+                yrow = ys[i] if ys is not None else np.zeros(self.sp.m)
+                y0s.extend([yrow, yrow])
+                f = xv - lo
+                tags.append((id(node), parent, j, max(f, 1e-6),
+                             max(1.0 - f, 1e-6)))
+        B = len(boxes_lo)
+        if getattr(self, "_pad_full", False):
+            bucket = max(self._batch, B)
+        else:
+            bucket = 1
+            while bucket < B:
+                bucket *= 4
+        while len(boxes_lo) < bucket:
+            boxes_lo.append(boxes_lo[0])
+            boxes_hi.append(boxes_hi[0])
+            x0s.append(x0s[0])
+            y0s.append(y0s[0])
+        r = self._run_step(np.stack(boxes_lo), np.stack(boxes_hi),
+                           np.stack(x0s), np.stack(y0s))
+        self.stats.solves += B
+        self.stats.probes += B
+        pdb = np.asarray(r.dual_bound)
+        pst = np.asarray(r.status)
+        for t, (nid, parent, j, f_dn, f_up) in enumerate(tags):
+            dn, up = pdb[2 * t], pdb[2 * t + 1]
+            g_dn = 1e3 if (pst[2 * t] == EngineStatus.SOLVED_INFEASIBLE
+                           or dn >= 1e15) \
+                else max(0.0, float(dn) - parent) / f_dn
+            g_up = 1e3 if (pst[2 * t + 1] ==
+                           EngineStatus.SOLVED_INFEASIBLE or up >= 1e15) \
+                else max(0.0, float(up) - parent) / f_up
+            self._strong_gains.setdefault(nid, {})[j] = \
+                max(g_dn * f_dn, 1e-8) * max(g_up * f_up, 1e-8)
+            for side, gain in ((0, g_dn), (1, g_up)):
+                if side == 0:
+                    c = self._pc_down_cnt[j]
+                    self._pc_down[j] = (self._pc_down[j] * c + gain) / \
+                        (c + 1)
+                    self._pc_down_cnt[j] = c + 1
+                else:
+                    c = self._pc_up_cnt[j]
+                    self._pc_up[j] = (self._pc_up[j] * c + gain) / (c + 1)
+                    self._pc_up_cnt[j] = c + 1
+
     # ------------------------------------------- reliability branching
     def _pop_probes(self, k: int) -> List[tuple]:
         """Drain up to k queued strong-branch probes (bounded further by
@@ -1370,6 +1472,13 @@ class BranchAndBound:
         cand = np.where(frac > self._int_tol)[0]
         if len(cand) <= 1:
             return bvar, bval
+        if rule == "strong" and node is not None:
+            # exact strong branching: pick by the measured product of
+            # certified child bound gains (this batch's probe superstep)
+            g = getattr(self, "_strong_gains", {}).get(id(node))
+            if g:
+                j = max(g, key=g.get)
+                return int(j), float(x[j])
         if rule == "lexico":
             j = cand[0]
         elif rule == "random":

@@ -512,6 +512,21 @@ class QGBranchAndBound(BranchAndBound):
                 self._log.info(
                     f"trimloss construction: verified incumbent {objh:.8g}")
                 self._accept_incumbent(xh, objh)
+            # valid knapsack rows implied by the bilinear demand
+            # semantics (bnb/trimloss.py::trimloss_valid_rows): the
+            # sqrt reformulation's LP is loose by ~5x on tls4; these
+            # implied capacity + Chvatal-rounding rows close most of
+            # that at the root.  Installed in the cut pool (cuts are
+            # inequality rows; certified LP duals price them soundly).
+            from .trimloss import trimloss_valid_rows
+            n_vr = 0
+            for coefs, lo, hi in trimloss_valid_rows(self.problem):
+                c2 = np.zeros(self.sp.n)
+                c2[:len(coefs)] = coefs
+                n_vr += bool(self._add_cut(c2, lo, hi))
+            if n_vr:
+                self._log.info(f"trimloss: {n_vr} implied demand/"
+                               f"capacity rows installed at the root")
         res = self._nlp_solve(sp.A, sp.clb, sp.cub,
                               sp.vlb[None, :], sp.vub[None, :])
         self.qg_stats.nlp_solves += 1

@@ -352,3 +352,69 @@ def construct_trimloss(p: Problem, st: Optional[TrimlossStructure] = None,
     if not p.is_feasible(x, atol=1e-6, int_tol=1e-6):
         return None
     return x, float(p.eval_objective(x))
+
+
+def trimloss_valid_rows(p: Problem,
+                        st: Optional[TrimlossStructure] = None,
+                        ) -> List[Tuple[np.ndarray, float, float]]:
+    """Valid linear rows implied by the BILINEAR demand semantics of the
+    detected structure — the rows the convex sqrt reformulation loses
+    (its continuous relaxation is notoriously loose: tls4's root LP sits
+    at 1.71 vs optimum 8.3).
+
+    Derivation (valid for every integer-feasible point, which is all a
+    cut needs):  d_i <= sum_j m_j n_ij  with  n_ij <= K_ij  and
+    sum_i n_ij <= K_j, where K_ij / K_j are the exact per-roll content
+    caps obtained by enumerating pattern j's local rows
+    (_enumerate_contents — the true model's own constraints).  Hence
+      (i)  per product:   sum_j K_ij m_j >= d_i
+      (ii) per product CG: sum_{j: K_ij>0} m_j >= ceil(d_i / max_j K_ij)
+      (iii) aggregate:     sum_j K_j m_j >= sum_i d_i
+      (iv) aggregate CG:   sum_j m_j >= ceil(sum_i d_i / max_j K_j)
+    with m_j = sum_k k b_jk (the one-hot encoding).  (ii)/(iv) are
+    Chvatal rounding steps on integer m.  Reference analogue: the
+    knapsack-cover/LGCI machinery (CoverCutGenerator.cpp) — these are
+    the same class of implied knapsack rows, specialized to the
+    trimloss structure."""
+    if st is None:
+        st = detect_trimloss(p)
+    if st is None:
+        return []
+    n = p.n_vars
+    P, I = st.n_patterns, st.n_products
+    Kij = np.zeros((I, P))
+    Kj = np.zeros(P)
+    for j in range(P):
+        C = _enumerate_contents(p, st, j)
+        if len(C) == 0:
+            return []          # enumeration overflow: no cuts, no harm
+        Kij[:, j] = C.max(axis=0)
+        Kj[j] = C.sum(axis=1).max()
+    if Kj.max() <= 0:
+        return []
+
+    def m_coefs(weights) -> np.ndarray:
+        c = np.zeros(n)
+        for j, g in enumerate(st.m_groups):
+            for k, b in enumerate(g.bvars, start=1):
+                c[b] += float(weights[j]) * k
+        return c
+
+    rows: List[Tuple[np.ndarray, float, float]] = []
+    dsum = float(sum(st.demands))
+    # (iii) aggregate capacity row
+    rows.append((m_coefs(Kj), dsum, _INF))
+    # (iv) aggregate Chvatal rounding
+    rows.append((m_coefs(np.ones(P)),
+                 float(np.ceil(dsum / Kj.max() - 1e-9)), _INF))
+    for i in range(I):
+        if Kij[i].max() <= 0:
+            continue
+        # (i) per-product capacity row
+        rows.append((m_coefs(Kij[i]), float(st.demands[i]), _INF))
+        # (ii) per-product Chvatal rounding over supporting patterns
+        sup = (Kij[i] > 0).astype(float)
+        rows.append((m_coefs(sup),
+                     float(np.ceil(st.demands[i] / Kij[i].max() - 1e-9)),
+                     _INF))
+    return rows

@@ -773,3 +773,6 @@ def _cknap_opt():
 
 
 SUITE["cknap_30a"] = (_cknap, _cknap_opt, "correlated 0/1 knapsack")
+
+# round-5 families (clay/slay/rsyn/sssd/stockcycle/portfol/st_e14 + n>=1000)
+from . import convex_suite2  # noqa: E402,F401  (registers into SUITE)

@@ -48,11 +48,37 @@ PLAN = [
     ("suite", "layout1d_4a", "mbnb", 8000, 420.0, None, "flay03/slay"),
     ("suite", "uflquad_3x6a", "mbnb", 8000, 420.0, None, "uflquad"),
     ("suite", "synthes_5a", "mbnb", 4000, 420.0, None, "synthes2/rsyn"),
+    ("suite", "stockcycle_24a", "mqg", 4000, 420.0, None, "stockcycle"),
+    ("suite", "stockcycle_60a", "mqg", 4000, 420.0, None,
+     "stockcycle n=60"),
+    ("suite", "sssd_7x3a", "mbnb", 4000, 420.0, None, "sssd08-04"),
+    ("suite", "sssd_8x3b", "mbnb", 4000, 420.0, None, "sssd seed5"),
+    ("suite", "portcard_8_3a", "mbnb", 4000, 420.0, None,
+     "portfol_card/alan"),
+    ("suite", "portcard_10_3b", "mbnb", 4000, 420.0, None, "portfol n=10"),
+    ("suite", "clay2_3a", "mbnb", 8000, 420.0, None, "clay0203m/slay 2-D"),
+    ("suite", "clay2_3b", "mbnb", 8000, 420.0, None, "clay seed6"),
+    ("suite", "rsyn_8a", "mqg", 4000, 420.0, None, "rsyn0805"),
+    ("suite", "rsyn_10b", "mqg", 4000, 420.0, None, "rsyn k=10"),
+    ("suite", "st_e14a", "mqg", 2000, 420.0, None, "st_e14"),
+    ("suite", "st_e14b", "mqg", 2000, 420.0, None, "st_e14 seed2"),
+    # deliberate n >= 1000 dense-wall rows (VERDICT r4 next-step #3/#5)
+    ("suite", "cknap_1200a", "mbnb", 3000, 900.0, None,
+     "n=1200 MILP knapsack"),
+    ("suite", "normcon_1024a", "mqg", 600, 900.0, None,
+     "n=1024 int norm-cone"),
+    ("suite", "intquad_2048a", "mbnb", 600, 900.0, None,
+     "n=2048 separable MIQP"),
     ("ref", f"{REF}/tls4.nl", "mqg", 2000, 600.0, 8.3,
-     "shipped; optimum 8.3 (trimloss construction); lb climb capped"),
+     "shipped; optimum 8.3; implied demand rows lift the root lb"),
     ("ref", f"{REF}/color_lab2_4x0.nl", "mbnb", 32768, 600.0, None,
      "shipped; 300-binary MIQP; no published optimum — gap reported"),
 ]
+
+# artifact-level regression floor (VERDICT r4 weak #1): tls4's certified
+# lb must never fall below the PROVEN continuous-relaxation value.  A
+# violation fails the sweep artifact, not just a unit test.
+TLS4_LB_FLOOR = 1.70933 - 2e-3
 
 
 def log(msg):
@@ -74,6 +100,9 @@ def run_one(kind, src, solver, node_limit, time_cap, batch, pad_full):
 
     env = Environment()
     env.set_option("log_level", 0)
+    if p.n_vars >= 1000:
+        # dense-wall rows: (B, n, n) KKT workspaces cap the batch
+        batch = min(batch, 4 if p.n_vars <= 1500 else 2)
     env.set_option("node_batch", batch)
     env.set_option("pad_full", int(pad_full))
     env.set_option("bnb_node_limit", node_limit)
@@ -113,7 +142,7 @@ def main():
     ap.add_argument("--time-scale", type=float, default=1.0)
     ap.add_argument("--out", default=os.path.join(REPO, "scripts",
                                                   "tpu_sweep_results.csv"))
-    ap.add_argument("--md", default=os.path.join(REPO, "SWEEP_r4.md"))
+    ap.add_argument("--md", default=os.path.join(REPO, "SWEEP_r5.md"))
     args = ap.parse_args()
 
     import jax
@@ -155,6 +184,12 @@ def main():
     total = time.monotonic() - t_sweep
     n_opt = sum(1 for r in rows if r["status"] == "SOLVED_OPTIMAL")
     n_ver = sum(1 for r in rows if r["verified"])
+    floor_fail = [r for r in rows if r["name"] == "tls4"
+                  and r["lb"] < TLS4_LB_FLOOR]
+    for r in floor_fail:
+        r["note"] += " **LB FLOOR REGRESSION**"
+        log(f"sweep: TLS4 LB FLOOR REGRESSION: lb={r['lb']:.6g} < "
+            f"{TLS4_LB_FLOOR:.6g} — artifact FAILS")
 
     with open(args.out, "w") as f:
         f.write("instance,solver,status,wall_s,nodes,ub,lb,rel_gap,"
@@ -168,7 +203,7 @@ def main():
 
     with open(args.md, "w") as f:
         f.write(
-            "# Solve-to-gap sweep (round 4)\n\n"
+            "# Solve-to-gap sweep (round 5)\n\n"
             f"Platform: **{platform}** ({jax.devices()[0]}).  Harness:\n"
             "`scripts/tpu_sweep.py` (mirror of the reference's\n"
             "scripts/minlp-test.py:36-60 protocol: instance list + time\n"
@@ -193,6 +228,9 @@ def main():
                     f"{r['status']} | {r['wall']} | {r['nodes']} | "
                     f"{r['ub']:.8g} | {r['lb']:.8g} | {r['gap']:.3g} | "
                     f"{truth} | {ver} |\n")
+        if floor_fail:
+            f.write("\n**ARTIFACT FAILURE: tls4 lb fell below the "
+                    "proven 1.70933 floor.**\n")
         f.write(
             "\nNotes:\n"
             "- tls4: the trimloss construction supplies the optimum 8.3 "
@@ -204,7 +242,10 @@ def main():
             "headline for this instance lives in bench.py).\n")
     print(json.dumps({"solved_optimal": n_opt, "verified": n_ver,
                       "rows": len(rows), "total_wall_s": round(total, 1),
-                      "platform": platform}))
+                      "platform": platform,
+                      "tls4_floor_ok": not floor_fail}))
+    if floor_fail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
