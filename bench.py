@@ -99,6 +99,7 @@ def main():
     # peak avoids congestion drain/refill cycles (each moves ~100 MB
     # through the ~20-45 MB/s tunnel); n=300 slots are ~12 KB each
     env.set_option("device_pool_cap", 16384)
+    env.set_option("device_tree", 0)   # measured r5: host pipelined loop wins here (see CLAUDE.md)
     env.set_option("log_level", 1)
 
     bab = BranchAndBound(p, env)

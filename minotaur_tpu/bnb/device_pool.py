@@ -176,7 +176,13 @@ class DevicePoolRunner:
             # Approximation is harmless here: any USED slot is valid to
             # process (priority is a heuristic), and `act` masks the
             # rest.
-            _, idx = jax.lax.approx_max_k(-key, B, recall_target=0.95)
+            # f32 keys: the PartialReduce custom call has no X64
+            # rewriting; priority is a heuristic, so f32 rounding of the
+            # key is harmless (bounds themselves stay f64 everywhere)
+            _, idx = jax.lax.approx_max_k(
+                jnp.nan_to_num((-key).astype(jnp.float32),
+                               neginf=-3e38, posinf=3e38),
+                B, recall_target=0.95)
             act = used[idx]
             # inactive lanes get a trivial fixed box (solves in O(1)
             # iterations; all their effects are masked)

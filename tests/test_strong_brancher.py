@@ -40,8 +40,16 @@ def _case(name, gen, truth):
 
 
 def _build_cases():
+    # instances where the relaxation leaves MULTIPLE fractional ints at
+    # branching nodes (IPM interior points): measured CPU survey,
+    # 2026-08 round 5 —
+    #   ball_mk_16a: rel 753 nodes / strong 623
+    #   normcon_20a: rel 815 / strong 799
+    #   duopt_8a:    rel  21 / strong  19
+    # (single-fractional families like cknap are no-ops by construction:
+    # one candidate means nothing to rank)
     from minotaur_tpu.models.convex_suite import SUITE
-    for nm in ("sssd_7x3a", "portcard_8_3a", "clay2_3a", "cknap_30a"):
+    for nm in ("ball_mk_16a", "duopt_8a", "normcon_20a"):
         gen, opt, _fam = SUITE[nm]
         _case(nm, gen, opt())
 
