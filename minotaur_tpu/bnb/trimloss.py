@@ -402,6 +402,39 @@ def trimloss_valid_rows(p: Problem,
 
     rows: List[Tuple[np.ndarray, float, float]] = []
     dsum = float(sum(st.demands))
+    # (v) pattern-cover cuts on the y gates: a subset S of patterns
+    # cannot cover demand even in the RELAXATION m_j = cap_j with
+    # per-product per-roll caps K_ij (each cap independently achieved —
+    # a superset of the true feasible covers, so its infeasibility is
+    # certified), hence some pattern OUTSIDE S must be used:
+    # sum_{j not in S} y_j >= 1.  Also the aggregate Chvatal form
+    # sum_j y_j >= k* (k* = min size of a sufficient subset).  These
+    # close the y-cost part of the lb that the m-rows cannot see.
+    have_y = all(g.y_var >= 0 for g in st.m_groups)
+    if have_y and P <= 12:
+        caps = np.array([g.cap for g in st.m_groups], dtype=float)
+        full = caps[None, :] * Kij                    # (I, P) max pieces
+        kstar = P + 1
+        for size in range(1, P):
+            any_sufficient = False
+            for S in itertools.combinations(range(P), size):
+                cover_ok = all(full[i, list(S)].sum() >=
+                               st.demands[i] - 1e-9 for i in range(I))
+                if cover_ok:
+                    any_sufficient = True
+                else:
+                    c = np.zeros(n)
+                    for j in range(P):
+                        if j not in S:
+                            c[st.m_groups[j].y_var] = 1.0
+                    rows.append((c, 1.0, _INF))
+            if any_sufficient and kstar > P:
+                kstar = size
+        if kstar <= P:
+            c = np.zeros(n)
+            for g in st.m_groups:
+                c[g.y_var] = 1.0
+            rows.append((c, float(kstar), _INF))
     # (iii) aggregate capacity row
     rows.append((m_coefs(Kj), dsum, _INF))
     # (iv) aggregate Chvatal rounding

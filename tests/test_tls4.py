@@ -42,6 +42,9 @@ def test_tls4_qg_root_bound_floor():
     bab = QGBranchAndBound(p, env)
     bab.solve()
     assert bab.lb >= 1.70933 - 2e-3
+    # round 5: the implied demand/capacity rows (trimloss_valid_rows)
+    # lift the root lb from 1.71 to >= 8.0 (optimum 8.3)
+    assert bab.lb >= 8.0 - 1e-6
     # and stays below any feasible value (sound)
     assert bab.lb <= 8.3 + 1e-6
 
