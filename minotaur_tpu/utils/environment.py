@@ -158,7 +158,12 @@ def _create_default_options(db: OptionDB) -> None:
         "keep the open-node pool in device memory and run device_rounds "
         "complete B&B rounds (select/solve/prune/branch/insert) per "
         "dispatch; eligible for certified-bound LP/QP models with the "
-        "plain node processor (bnb/device_pool.py)", True)
+        "plain node processor (bnb/device_pool.py).  OFF by default: "
+        "measured r5 on the tunnel-attached v5e the 2-deep pipelined "
+        "host loop saturates the device and wins (249.6 vs 149.5 "
+        "nodes/s on color_lab; a device-mode sweep row also left "
+        "cknap_30a unclosed at 4239 nodes where the host loop closes "
+        "it in ~300) — opt in where dispatch latency binds", False)
     ins("device_rounds", int, "B&B rounds executed per device dispatch "
         "in device_tree mode", 8)
     ins("device_pool_cap", int, "device node-pool capacity (slots); the "
