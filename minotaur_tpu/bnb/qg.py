@@ -919,52 +919,6 @@ class QGBranchAndBound(BranchAndBound):
                 self._accept_incumbent(
                     xc, float(self.problem.eval_objective(xc)))
 
-    def _linear_repair(self, xr: np.ndarray, rounds: int = 8
-                       ) -> np.ndarray:
-        """Greedy integer repair of rounded points against LINEAR rows
-        (the capacity-row analogue of `_monotone_repair`, which only
-        sees nonlinear rows): for the worst violated linear row, step
-        the integer variable that reduces the violation at the least
-        linear-objective damage, one unit per round.  Rounding k-up on
-        a `sum s_i k_i <= C` row is exactly the failure mode this fixes
-        (stockcycle-class models: nearest-rounding broke capacity and
-        the fix-int oracle saw only infeasible lanes)."""
-        sp = self.sp_orig
-        ints = np.where(sp.int_mask)[0]
-        if not len(ints) or not sp.A.shape[0]:
-            return xr
-        xr = xr.copy()
-        c = sp.c
-        for b in range(xr.shape[0]):
-            for _ in range(rounds):
-                ax = sp.A @ xr[b]
-                vio_hi = ax - sp.cub
-                vio_lo = sp.clb - ax
-                vio = np.maximum(np.maximum(vio_hi, vio_lo), 0.0)
-                vio[~np.isfinite(vio)] = 0.0
-                r = int(np.argmax(vio))
-                if vio[r] <= 1e-9:
-                    break
-                arow = sp.A[r]
-                direction = -1.0 if vio_hi[r] >= vio_lo[r] else 1.0
-                # candidate int steps that reduce the violation and stay
-                # inside the global box
-                best_j, best_cost = -1, np.inf
-                for j in ints:
-                    if abs(arow[j]) < 1e-12:
-                        continue
-                    step = direction * np.sign(arow[j])
-                    nx = xr[b, j] + step
-                    if nx < sp.vlb[j] - 1e-9 or nx > sp.vub[j] + 1e-9:
-                        continue
-                    damage = c[j] * step / max(abs(arow[j]), 1e-12)
-                    if damage < best_cost:
-                        best_cost, best_j = damage, int(j)
-                if best_j < 0:
-                    break
-                xr[b, best_j] += direction * np.sign(arow[best_j])
-        return xr
-
     def _monotone_repair(self, xr: np.ndarray, rounds: int = 3) -> np.ndarray:
         """Greedy integer repair of rounded points against the nonlinear
         rows: step every integer var one unit in the direction its
