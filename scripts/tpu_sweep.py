@@ -48,8 +48,8 @@ PLAN = [
     ("suite", "layout1d_4a", "mbnb", 8000, 420.0, None, "flay03/slay"),
     ("suite", "uflquad_3x6a", "mbnb", 8000, 420.0, None, "uflquad"),
     ("suite", "synthes_5a", "mbnb", 4000, 420.0, None, "synthes2/rsyn"),
-    ("suite", "stockcycle_24a", "mqg", 4000, 420.0, None, "stockcycle"),
-    ("suite", "stockcycle_60a", "mqg", 4000, 420.0, None,
+    ("suite", "stockcycle_24a", "mqg", 12000, 420.0, None, "stockcycle"),
+    ("suite", "stockcycle_60a", "mqg", 12000, 420.0, None,
      "stockcycle n=60"),
     ("suite", "sssd_7x3a", "mbnb", 4000, 420.0, None, "sssd08-04"),
     ("suite", "sssd_8x3b", "mbnb", 4000, 420.0, None, "sssd seed5"),
@@ -58,8 +58,8 @@ PLAN = [
     ("suite", "portcard_10_3b", "mbnb", 4000, 420.0, None, "portfol n=10"),
     ("suite", "clay2_3a", "mbnb", 8000, 420.0, None, "clay0203m/slay 2-D"),
     ("suite", "clay2_3b", "mbnb", 8000, 420.0, None, "clay seed6"),
-    ("suite", "rsyn_8a", "mqg", 4000, 420.0, None, "rsyn0805"),
-    ("suite", "rsyn_10b", "mqg", 4000, 420.0, None, "rsyn k=10"),
+    ("suite", "rsyn_8a", "mqg", 8000, 420.0, None, "rsyn0805"),
+    ("suite", "rsyn_10b", "mqg", 8000, 420.0, None, "rsyn k=10"),
     ("suite", "st_e14a", "mqg", 2000, 420.0, None, "st_e14"),
     ("suite", "st_e14b", "mqg", 2000, 420.0, None, "st_e14 seed2"),
     # deliberate n >= 1000 dense-wall rows (VERDICT r4 next-step #3/#5)
@@ -101,8 +101,12 @@ def run_one(kind, src, solver, node_limit, time_cap, batch, pad_full):
     env = Environment()
     env.set_option("log_level", 0)
     if p.n_vars >= 1000:
-        # dense-wall rows: (B, n, n) KKT workspaces cap the batch
+        # dense-wall rows: (B, n, n) KKT workspaces cap the batch, and
+        # a smaller QG cut pool keeps the master (m+pool, n) array from
+        # blowing up device memory (the r5 worker crash on the n=1024
+        # row happened with the default 2048-row pool)
         batch = min(batch, 4 if p.n_vars <= 1500 else 2)
+        env.set_option("qg_max_cuts", 256)
     env.set_option("node_batch", batch)
     env.set_option("pad_full", int(pad_full))
     env.set_option("bnb_node_limit", node_limit)
@@ -143,6 +147,12 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "scripts",
                                                   "tpu_sweep_results.csv"))
     ap.add_argument("--md", default=os.path.join(REPO, "SWEEP_r5.md"))
+    ap.add_argument("--rows-jsonl", default=os.path.join(
+        REPO, "scripts", "sweep_rows.jsonl"),
+        help="incremental per-row results (crash-proof; artifacts are "
+        "rebuilt from this file)")
+    ap.add_argument("--resume", action="store_true",
+        help="skip rows already present in --rows-jsonl")
     args = ap.parse_args()
 
     import jax
@@ -160,10 +170,24 @@ def main():
 
     only = set(args.only.split(",")) if args.only else None
     rows = []
+    done = {}
+    if args.resume and os.path.exists(args.rows_jsonl):
+        with open(args.rows_jsonl) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done[r["name"]] = r
+                except Exception:
+                    pass
+        log(f"sweep: resume — {len(done)} rows loaded from "
+            f"{args.rows_jsonl}")
     t_sweep = time.monotonic()
     for kind, src, solver, nlim, tcap, known, note in PLAN:
         name = os.path.basename(src).replace(".nl", "")
         if only and name not in only:
+            continue
+        if name in done:
+            rows.append(done[name])
             continue
         log(f"sweep: {name} ({solver}) ...")
         r = run_one(kind, src, solver, nlim, tcap * args.time_scale,
@@ -177,6 +201,8 @@ def main():
             r["verified"] = None
         rows.append(dict(name=name, solver=solver, note=note,
                          truth=truth, **r))
+        with open(args.rows_jsonl, "a") as f:
+            f.write(json.dumps(rows[-1]) + "\n")
         log(f"sweep: {name}: {r['status']} wall={r['wall']}s "
             f"nodes={r['nodes']} ub={r['ub']:.8g} lb={r['lb']:.8g} "
             f"gap={r['gap']:.3g} verified={r['verified']}")
