@@ -48,8 +48,11 @@ PLAN = [
     ("suite", "layout1d_4a", "mbnb", 8000, 420.0, None, "flay03/slay"),
     ("suite", "uflquad_3x6a", "mbnb", 8000, 420.0, None, "uflquad"),
     ("suite", "synthes_5a", "mbnb", 4000, 420.0, None, "synthes2/rsyn"),
-    ("suite", "stockcycle_24a", "mqg", 12000, 420.0, None, "stockcycle"),
-    ("suite", "stockcycle_60a", "mqg", 12000, 420.0, None,
+    # stockcycle/rsyn: mbnb, not mqg — the NLP-B&B path closes these
+    # exactly (CPU rehearsal: 26-33 s) while the QG master's compile
+    # ladder ate the caps at 5-7% gaps in the first r5 pass
+    ("suite", "stockcycle_24a", "mbnb", 12000, 420.0, None, "stockcycle"),
+    ("suite", "stockcycle_60a", "mbnb", 120000, 420.0, None,
      "stockcycle n=60"),
     ("suite", "sssd_7x3a", "mbnb", 4000, 420.0, None, "sssd08-04"),
     ("suite", "sssd_8x3b", "mbnb", 4000, 420.0, None, "sssd seed5"),
@@ -58,8 +61,8 @@ PLAN = [
     ("suite", "portcard_10_3b", "mbnb", 4000, 420.0, None, "portfol n=10"),
     ("suite", "clay2_3a", "mbnb", 8000, 420.0, None, "clay0203m/slay 2-D"),
     ("suite", "clay2_3b", "mbnb", 8000, 420.0, None, "clay seed6"),
-    ("suite", "rsyn_8a", "mqg", 8000, 420.0, None, "rsyn0805"),
-    ("suite", "rsyn_10b", "mqg", 8000, 420.0, None, "rsyn k=10"),
+    ("suite", "rsyn_8a", "mbnb", 8000, 420.0, None, "rsyn0805"),
+    ("suite", "rsyn_10b", "mbnb", 8000, 420.0, None, "rsyn k=10"),
     ("suite", "st_e14a", "mqg", 2000, 420.0, None, "st_e14"),
     ("suite", "st_e14b", "mqg", 2000, 420.0, None, "st_e14 seed2"),
     # deliberate n >= 1000 dense-wall rows (VERDICT r4 next-step #3/#5)
